@@ -1,0 +1,89 @@
+"""Flash-attention wrapper tests (XLA path on CPU; the Pallas kernel itself is
+exercised on TPU by bench.py and by interpreter-mode test below)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tokensgen_tpu.kernels.attention import flash_attention, _xla_attention
+
+
+def _ref_attn(q, k, v, bias=None, scale=None):
+    d = q.shape[-1]
+    scale = scale or d**-0.5
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    if bias is not None:
+        s = s + bias[:, None, None, :]
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def test_matches_numpy_reference():
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(2, 3, 17, 8)).astype(np.float32)
+    k = rng.normal(size=(2, 3, 29, 8)).astype(np.float32)
+    v = rng.normal(size=(2, 3, 29, 8)).astype(np.float32)
+    out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(out), _ref_attn(q, k, v), rtol=1e-4, atol=1e-5)
+
+
+def test_key_bias_masks_keys():
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=(1, 2, 5, 8)).astype(np.float32)
+    k = rng.normal(size=(1, 2, 7, 8)).astype(np.float32)
+    v = rng.normal(size=(1, 2, 7, 8)).astype(np.float32)
+    bias = np.zeros((1, 7), np.float32)
+    bias[0, 4:] = -1e9
+    out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), key_bias=jnp.asarray(bias))
+    ref = _ref_attn(q[:, :, :, :], k[:, :, :4], v[:, :, :4])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_custom_scale():
+    rng = np.random.default_rng(2)
+    q = rng.normal(size=(1, 1, 4, 16)).astype(np.float32)
+    k = rng.normal(size=(1, 1, 4, 16)).astype(np.float32)
+    v = rng.normal(size=(1, 1, 4, 16)).astype(np.float32)
+    out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=0.25)
+    np.testing.assert_allclose(np.asarray(out), _ref_attn(q, k, v, scale=0.25), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_kernel_interpret_mode():
+    """Run the actual Pallas kernel in interpreter mode on CPU against XLA ref."""
+    import functools
+    from jax.experimental import pallas as pl
+    from tokensgen_tpu.kernels import attention as A
+
+    rng = np.random.default_rng(3)
+    b, h, sq, skv, d = 1, 2, 256, 512, 64
+    q = jnp.asarray(rng.normal(size=(b, h, sq, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, skv, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, skv, d)).astype(np.float32))
+    bias = jnp.zeros((b, 1, skv), jnp.float32)
+    scale = d**-0.5
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    block_q, block_kv = 128, 256
+    grid = (b, h, sq // block_q, skv // block_kv)
+    out = pl.pallas_call(
+        functools.partial(A._flash_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, block_kv, d), lambda b_, h_, i, j: (b_, h_, j, 0)),
+            pl.BlockSpec((1, 1, block_kv, d), lambda b_, h_, i, j: (b_, h_, j, 0)),
+            pl.BlockSpec((1, 1, block_kv), lambda b_, h_, i, j: (b_, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, A._LANES), jnp.float32),
+            pltpu.VMEM((block_q, A._LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=True,
+    )(q, k, v, bias)
+    ref = A._xla_attention(q, k, v, bias[:, 0, :], scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)

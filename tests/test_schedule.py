@@ -1,0 +1,171 @@
+"""Golden-value tests for diffusion schedules and solver steps.
+
+Oracles are independent float64 numpy re-derivations of the formulas cited in
+SURVEY.md §2 #9/#10 (not imports of the reference code)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tokensgen_tpu.core import schedule as S
+
+
+def oracle_alphas_cumprod(T=1000, b0=0.00085, b1=0.012, snr=3.0, zero_snr=True):
+    betas = np.linspace(b0**0.5, b1**0.5, T, dtype=np.float64) ** 2
+    ac = np.cumprod(1 - betas)
+    ac = ac / (snr + (1 - snr) * ac)
+    if zero_snr:
+        s = np.sqrt(ac)
+        ac = ((s - s[-1]) * s[0] / (s[0] - s[-1])) ** 2
+    return betas, ac
+
+
+def test_alphas_cumprod_table():
+    betas, ac = oracle_alphas_cumprod()
+    sched = S.make_schedule(S.ScheduleConfig())
+    np.testing.assert_allclose(np.asarray(sched.betas), betas, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sched.alphas_cumprod), ac, rtol=2e-5, atol=1e-9)
+    # zero terminal SNR: last entry ~ 0, first matches unrescaled value
+    assert np.asarray(sched.alphas_cumprod)[-1] < 1e-8
+
+
+def test_vip1_warp_monotone_and_endpoints():
+    cfg = S.ScheduleConfig(beta_schedule="vip_1")
+    sched = S.make_schedule(cfg)
+    ac = np.asarray(sched.alphas_cumprod, dtype=np.float64)
+    _, base = oracle_alphas_cumprod()
+    assert ac.shape == (1000,)
+    # endpoints preserved by the piecewise warp
+    np.testing.assert_allclose(ac[0], base[0], rtol=1e-5)
+    np.testing.assert_allclose(ac[-1], base[-1], atol=1e-8)
+    # warp moves mass: at index 300 the warped table equals base at 500's neighborhood
+    np.testing.assert_allclose(ac[299], base[499], rtol=1e-4)
+    np.testing.assert_allclose(ac[499], base[799], rtol=1e-4)
+    assert np.all(np.diff(ac) < 1e-12)  # non-increasing
+
+
+@pytest.mark.parametrize("spacing,expected_last,expected_first", [
+    ("trailing", None, 999),
+])
+def test_timesteps_trailing(spacing, expected_last, expected_first):
+    cfg = S.ScheduleConfig(timestep_spacing=spacing)
+    ts = S.inference_timesteps(cfg, 52)
+    assert ts[0] == expected_first
+    assert len(ts) == 52
+    oracle = np.round(np.arange(1000, 0, -1000 / 52)).astype(np.int64) - 1
+    np.testing.assert_array_equal(ts, oracle)
+
+
+def test_ddim_step_matches_scalar_oracle():
+    rng = np.random.default_rng(0)
+    sched = S.make_schedule(S.ScheduleConfig())
+    ac = np.asarray(sched.alphas_cumprod, dtype=np.float64)
+    x = rng.normal(size=(2, 3, 4)).astype(np.float32)
+    mo = rng.normal(size=(2, 3, 4)).astype(np.float32)
+    t = np.array([999, 500])
+    pt = np.array([800, -1])
+
+    prev, x0 = S.ddim_step(sched, jnp.asarray(mo), jnp.asarray(x), jnp.asarray(t), jnp.asarray(pt))
+
+    for b in range(2):
+        ap = ac[t[b]]
+        app = ac[pt[b]] if pt[b] >= 0 else 1.0
+        x0_o = ap**0.5 * x[b] - (1 - ap) ** 0.5 * mo[b]
+        a_t = ((1 - app) / (1 - ap)) ** 0.5
+        b_t = app**0.5 - ap**0.5 * a_t
+        np.testing.assert_allclose(np.asarray(x0)[b], x0_o, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(prev)[b], a_t * x[b] + b_t * x0_o, rtol=1e-4, atol=1e-5)
+
+
+def dpm_oracle(ac, mo, x, t, pt, tb=None, old_x0=None, noise=None, noise2=None):
+    """Scalar float64 oracle for one sample."""
+    ap = ac[t]
+    app = ac[pt] if pt >= 0 else 1.0
+    x0 = ap**0.5 * x - (1 - ap) ** 0.5 * mo
+    lamb = np.log((ap / (1 - ap)) ** 0.5)
+    lamb_next = np.log((app / (1 - app)) ** 0.5)
+    h = lamb_next - lamb
+    m1 = ((1 - app) / (1 - ap)) ** 0.5 * np.exp(-h)
+    m2 = np.expm1(-2 * h) * app**0.5
+    mn = (1 - app) ** 0.5 * (1 - np.exp(-2 * h)) ** 0.5
+    nz = mn * noise if noise is not None else 0.0
+    prev = m1 * x - m2 * x0 + nz
+    if old_x0 is not None and pt >= 0 and tb is not None:
+        apb = ac[tb]
+        lamb_prev = np.log((apb / (1 - apb)) ** 0.5)
+        r = (lamb - lamb_prev) / h
+        m3, m4 = 1 + 1 / (2 * r), 1 / (2 * r)
+        d = m3 * x0 - m4 * old_x0
+        nz2 = mn * (noise2 if noise2 is not None else noise) if (noise2 is not None or noise is not None) else 0.0
+        prev = m1 * x - m2 * d + nz2
+    return prev, x0
+
+
+def test_dpm_step_first_order_and_multistep():
+    rng = np.random.default_rng(1)
+    sched = S.make_schedule(S.ScheduleConfig())
+    ac = np.asarray(sched.alphas_cumprod, dtype=np.float64)
+    shape = (3, 2, 5)
+    x = rng.normal(size=shape).astype(np.float32)
+    mo = rng.normal(size=shape).astype(np.float32)
+    old = rng.normal(size=shape).astype(np.float32)
+    nz = rng.normal(size=shape).astype(np.float32)
+    nz2 = rng.normal(size=shape).astype(np.float32)
+    t = np.array([999, 691, 38])
+    pt = np.array([979, 672, -1])
+    tb = np.array([999, 710, 57])
+
+    # first-order (no history)
+    prev, x0 = S.dpm_step(sched, jnp.asarray(mo), jnp.asarray(x), jnp.asarray(t), jnp.asarray(pt), noise=jnp.asarray(nz))
+    for b in range(3):
+        po, xo = dpm_oracle(ac, mo[b], x[b], t[b], pt[b], noise=nz[b])
+        np.testing.assert_allclose(np.asarray(prev)[b], po, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(x0)[b], xo, rtol=1e-3, atol=1e-4)
+
+    # multistep with history; b=2 has pt<0 -> must fall back to first-order
+    prev, x0 = S.dpm_step(
+        sched, jnp.asarray(mo), jnp.asarray(x), jnp.asarray(t), jnp.asarray(pt),
+        t_back=jnp.asarray(tb), old_pred_original_sample=jnp.asarray(old),
+        noise=jnp.asarray(nz), noise2=jnp.asarray(nz2),
+    )
+    for b in range(3):
+        po, xo = dpm_oracle(ac, mo[b], x[b], t[b], pt[b], tb[b], old[b], noise=nz[b], noise2=nz2[b])
+        np.testing.assert_allclose(np.asarray(prev)[b], po, rtol=1e-3, atol=1e-4)
+
+
+def test_dpm_per_frame_timesteps_vectorize():
+    """[B, F] timesteps: each frame advances on its own sub-schedule (FIFO mode)."""
+    rng = np.random.default_rng(2)
+    sched = S.make_schedule(S.ScheduleConfig())
+    ac = np.asarray(sched.alphas_cumprod, dtype=np.float64)
+    B, F, C = 1, 4, 3
+    x = rng.normal(size=(B, F, C)).astype(np.float32)
+    mo = rng.normal(size=(B, F, C)).astype(np.float32)
+    t = np.array([[999, 800, 600, 400]])
+    pt = np.array([[979, 780, 580, 380]])
+    prev, _ = S.dpm_step(sched, jnp.asarray(mo), jnp.asarray(x), jnp.asarray(t), jnp.asarray(pt))
+    for f in range(F):
+        po, _ = dpm_oracle(ac, mo[0, f], x[0, f], t[0, f], pt[0, f])
+        np.testing.assert_allclose(np.asarray(prev)[0, f], po, rtol=1e-3, atol=1e-4)
+
+
+def test_add_noise_and_velocity_roundtrip():
+    rng = np.random.default_rng(3)
+    sched = S.make_schedule(S.ScheduleConfig())
+    x0 = rng.normal(size=(2, 3)).astype(np.float32)
+    nz = rng.normal(size=(2, 3)).astype(np.float32)
+    t = jnp.asarray([100, 900])
+    xt = S.add_noise(sched, jnp.asarray(x0), jnp.asarray(nz), t)
+    v = S.get_velocity(sched, jnp.asarray(x0), jnp.asarray(nz), t)
+    # v-pred identity: x0 == sqrt(ap)*xt - sqrt(1-ap)*v
+    rec = S.pred_original_sample(sched, v, xt, t, prediction_type="v_prediction")
+    np.testing.assert_allclose(np.asarray(rec), x0, rtol=1e-4, atol=1e-5)
+
+
+def test_add_noise_to_xt_uses_original_betas():
+    sched = S.make_schedule(S.ScheduleConfig())
+    x = jnp.ones((1, 2))
+    nz = jnp.zeros((1, 2))
+    out = S.add_noise_to_xt(sched, x, nz, jnp.asarray([999]))
+    beta = np.asarray(sched.betas)[999]
+    np.testing.assert_allclose(np.asarray(out), (1 - beta) ** 0.5, rtol=1e-6)

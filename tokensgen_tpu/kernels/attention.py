@@ -1,0 +1,165 @@
+"""Pallas TPU flash attention for the joint [text‖video‖vip] sequence.
+
+Replaces the reference's `F.scaled_dot_product_attention` under
+`sdpa_kernel(SDPBackend.FLASH_ATTENTION)` (`/root/reference/longvgen/models/
+attention_processor.py:2066`, `video_ipadapter/resampler.py:125`).
+
+Design notes (TPU):
+* canonical online-softmax flash attention with a 4-D grid
+  (batch, head, q-block, kv-block); the kv axis is the innermost ("arbitrary")
+  grid dimension so Pallas double-buffers K/V block DMAs against the MXU matmuls,
+* running max / denominator / accumulator live in VMEM scratch and persist across
+  the kv iterations of one q block; the output is normalised and written on the
+  last kv step,
+* f32 softmax and accumulation (`preferred_element_type`) with bf16 inputs feeding
+  the MXU,
+* non-multiple sequence lengths are zero-padded by the wrapper and masked via an
+  additive key-bias, which doubles as the T2To padded-chunk attention mask,
+* RoPE is applied *before* the kernel (it differs per stream), so one kernel serves
+  all three attention patterns of the VIP processor: base joint self-attn,
+  text_video→vip cross-attn, and vip→[text_video‖vip] attn.
+
+On non-TPU backends the wrapper dispatches to a plain XLA reference implementation
+(identical math) so the full model runs under the CPU test mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e9
+_LANES = 128
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float
+):
+    # q_ref: [1, 1, Bq, D]; k_ref/v_ref: [1, 1, Bk, D]; bias_ref: [1, 1, Bk]
+    # scratch: m/l [Bq, LANES] f32, acc [Bq, D] f32 — persist across kv steps.
+    j = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # [Bq, D]
+    k = k_ref[0, 0].astype(jnp.float32)  # [Bk, D]
+    v = v_ref[0, 0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [Bq, Bk]
+    s = s + bias_ref[0, 0][None, :]
+
+    m_prev = m_scr[:, :1]  # [Bq, 1]
+    l_prev = l_scr[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == num_kv - 1)
+    def _finalize():
+        o_ref[0, 0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv"))
+def _flash_attention_tpu(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_bias: jnp.ndarray,
+    scale: float,
+    block_q: int,
+    block_kv: int,
+) -> jnp.ndarray:
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    sq_p = _round_up(sq, block_q)
+    skv_p = _round_up(skv, block_kv)
+
+    q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    k = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    key_bias = jnp.pad(key_bias, ((0, 0), (0, skv_p - skv)), constant_values=_NEG_INF)
+    key_bias = key_bias[:, None, :]  # [B, 1, Skv] so trailing block dims are legal
+
+    grid = (b, h, sq_p // block_q, skv_p // block_kv)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, block_kv, d), lambda b_, h_, i, j: (b_, h_, j, 0)),
+            pl.BlockSpec((1, 1, block_kv, d), lambda b_, h_, i, j: (b_, h_, j, 0)),
+            pl.BlockSpec((1, 1, block_kv), lambda b_, h_, i, j: (b_, 0, j)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v, key_bias)
+    return out[:, :, :sq, :]
+
+
+def _xla_attention(q, k, v, key_bias, scale):
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
+    s = s * scale + key_bias[:, None, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_bias: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    block_kv: int = 1024,
+) -> jnp.ndarray:
+    """Bidirectional attention, [B, H, Sq, D] x [B, H, Skv, D] -> [B, H, Sq, D].
+
+    ``key_bias``: optional additive [B, Skv] bias on keys (0 / -1e9), used for the
+    T2To padded-chunk mask. ``scale`` defaults to 1/sqrt(D) (SDPA default).
+    """
+    b, h, sq, d = q.shape
+    if scale is None:
+        scale = d**-0.5
+    if key_bias is None:
+        key_bias = jnp.zeros((b, k.shape[2]), dtype=jnp.float32)
+    else:
+        key_bias = key_bias.astype(jnp.float32)
+
+    if jax.default_backend() == "tpu":
+        block_q = min(block_q, _round_up(sq, 128))
+        block_kv = min(block_kv, _round_up(k.shape[2], 128))
+        return _flash_attention_tpu(q, k, v, key_bias, scale, block_q, block_kv)
+    return _xla_attention(q, k, v, key_bias, scale)

@@ -1,0 +1,446 @@
+"""CogVideoX 3-D diffusion transformer (To2V and T2To share this class), in flax.
+
+Behavioral parity targets (cited into `/root/reference/`):
+* joint [text ‖ video (‖ vip)] token sequence with AdaLN-zero blocks and per-frame
+  2-D timesteps (`longvgen/models/cogvideox_transformer_3d.py:636-770`),
+* the VIP conditioning branch — parallel vip-projected attention grafted into every
+  block (`cogvideox_transformer_3d.py:145-332`,
+  `attention_processor.py:1955-2156`, func_type "1"),
+* `use_output_projection=False` raw-token output mode and `patch_size=1` used by
+  T2To (`cogvideox_transformer_3d.py:419,745-762`),
+* final norm over the full joint sequence for rotary models (5b) vs video-only for
+  non-rotary (2b) (`cogvideox_transformer_3d.py:731-743`).
+
+TPU-first design choices (not a port):
+* blocks run under `nn.scan` with stacked parameters (one compiled block body
+  instead of 42 unrolled ones) and optional `nn.remat` gradient checkpointing,
+* attention is a single Pallas flash-attention kernel per pattern with RoPE applied
+  outside the kernel (see `kernels/attention.py`),
+* VIP weight grafting (vip_to_q := to_q etc., `cogvideox_transformer_3d.py:207-218`)
+  is a pytree init-time transform (`graft_vip_params`), not module mutation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tokensgen_tpu.kernels.attention import flash_attention
+from tokensgen_tpu.core.rope import Rope, apply_rotary_emb
+from tokensgen_tpu.models.layers import (
+    AdaLNZero,
+    AdaLayerNormOut,
+    FeedForward,
+    LayerNorm,
+    TimestepEmbedding,
+    VIPAdaLN,
+    timestep_sinusoidal,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class VIPConfig:
+    """Video IP-Adapter conditioning branch (SURVEY §2 #2/#4)."""
+
+    length: int = 480  # vip tokens per forward = 5 query-frames x 8 x 12
+    scale: float = 1.0
+    output_dim: int = 3072  # resampler output dim feeding vip_proj
+    num_temporal_queries: int = 4
+    num_height_queries: int = 8
+    num_width_queries: int = 12
+
+
+@dataclasses.dataclass(frozen=True)
+class DiTConfig:
+    num_attention_heads: int = 30
+    attention_head_dim: int = 64
+    in_channels: int = 16
+    out_channels: int = 16
+    time_embed_dim: int = 512
+    text_embed_dim: int = 4096
+    num_layers: int = 30
+    patch_size: int = 2
+    sample_width: int = 90
+    sample_height: int = 60
+    sample_frames: int = 49
+    temporal_compression_ratio: int = 4
+    max_text_seq_length: int = 226
+    spatial_interpolation_scale: float = 1.875
+    temporal_interpolation_scale: float = 1.0
+    use_rotary_positional_embeddings: bool = False
+    use_output_projection: bool = True
+    attention_bias: bool = True
+    qk_norm: bool = True
+    vip: Optional[VIPConfig] = None
+    dtype: Any = jnp.bfloat16
+    remat: bool = False
+
+    @property
+    def inner_dim(self) -> int:
+        return self.num_attention_heads * self.attention_head_dim
+
+    # --- model registry (SURVEY §2.5) ---
+
+    @classmethod
+    def cogvideox_5b(cls, **kw) -> "DiTConfig":
+        return cls(
+            num_attention_heads=48,
+            num_layers=42,
+            use_rotary_positional_embeddings=True,
+            **kw,
+        )
+
+    @classmethod
+    def cogvideox_2b(cls, **kw) -> "DiTConfig":
+        return cls(**kw)
+
+    @classmethod
+    def t2to_5b(cls, **kw) -> "DiTConfig":
+        """T2To: 5b clone with patch_size=1 denoising condensed tokens
+        [B, 4·chunks, 16, 8, 12] (`train_cogvideo_t2to.py:1269-1284`)."""
+        return cls(
+            num_attention_heads=48,
+            num_layers=42,
+            use_rotary_positional_embeddings=True,
+            patch_size=1,
+            sample_width=12,
+            sample_height=8,
+            **kw,
+        )
+
+    @classmethod
+    def tiny(cls, **kw) -> "DiTConfig":
+        """2-layer debug config for integration tests (SURVEY §4 item 3)."""
+        defaults = dict(
+            num_attention_heads=2,
+            attention_head_dim=16,
+            num_layers=2,
+            time_embed_dim=32,
+            text_embed_dim=24,
+            max_text_seq_length=8,
+            sample_width=16,
+            sample_height=8,
+            use_rotary_positional_embeddings=True,
+            dtype=jnp.float32,
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
+
+def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    b, s, _ = x.shape
+    return x.reshape(b, s, heads, -1).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+class QKNorm(nn.Module):
+    """Per-head-dim LayerNorm on q/k (eps 1e-6, affine), float32 stats."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return LayerNorm(epsilon=1e-6, name="ln")(x)
+
+
+class JointVIPAttention(nn.Module):
+    """Joint self-attention over [text‖video], with optional VIP branch.
+
+    VIP branch (func_type "1", `attention_processor.py:1955-2156`): a second set of
+    projections (vip_to_{q,k,v}, grafted from base weights at init) produces
+    (a) text_video→vip cross-attention added to the base output with a per-sample
+    scale and (b) vip→[text_video‖vip] attention for the token stream. RoPE tables
+    differ per stream and are applied to the video segment only.
+    """
+
+    config: DiTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        text_video: jnp.ndarray,  # [B, T+Sv, D]
+        vip: Optional[jnp.ndarray],  # [B, Lv, D] or None
+        text_len: int,
+        image_rotary_emb: Optional[Rope],
+        vip_image_rotary_emb: Optional[Rope],
+        vip_condition_rotary_emb: Optional[Rope],
+        key_bias: Optional[jnp.ndarray] = None,
+        vip_scale: Optional[jnp.ndarray] = None,
+    ):
+        cfg = self.config
+        inner, heads, dt = cfg.inner_dim, cfg.num_attention_heads, cfg.dtype
+
+        def dense(name):
+            return nn.Dense(inner, use_bias=cfg.attention_bias, dtype=dt, name=name)
+
+        def rope_video_part(x, rope):
+            if rope is None:
+                return x
+            return jnp.concatenate(
+                [x[:, :, :text_len], apply_rotary_emb(x[:, :, text_len:], rope)], axis=2
+            )
+
+        q = _split_heads(dense("to_q")(text_video), heads)
+        k = _split_heads(dense("to_k")(text_video), heads)
+        v = _split_heads(dense("to_v")(text_video), heads)
+        if cfg.qk_norm:
+            norm_q, norm_k = QKNorm(name="norm_q"), QKNorm(name="norm_k")
+            q, k = norm_q(q), norm_k(k)
+        q = rope_video_part(q, image_rotary_emb)
+        k = rope_video_part(k, image_rotary_emb)
+        out = flash_attention(q, k, v, key_bias=key_bias)  # [B, H, T+Sv, d]
+
+        vip_attn_out = None
+        if cfg.vip is not None:
+            assert vip is not None
+            tv_len = text_video.shape[1]
+            both = jnp.concatenate([text_video, vip], axis=1)
+            vq = _split_heads(dense("vip_to_q")(both), heads)
+            vk = _split_heads(dense("vip_to_k")(both), heads)
+            vv = _split_heads(dense("vip_to_v")(both), heads)
+            if cfg.qk_norm:
+                vq = QKNorm(name="vip_norm_q")(vq)
+                vk = QKNorm(name="vip_norm_k")(vk)
+            q_tv, q_vip = vq[:, :, :tv_len], vq[:, :, tv_len:]
+            k_tv, k_vip = vk[:, :, :tv_len], vk[:, :, tv_len:]
+            v_tv, v_vip = vv[:, :, :tv_len], vv[:, :, tv_len:]
+            q_tv = rope_video_part(q_tv, vip_image_rotary_emb)
+            k_tv = rope_video_part(k_tv, vip_image_rotary_emb)
+            if vip_condition_rotary_emb is not None:
+                q_vip = apply_rotary_emb(q_vip, vip_condition_rotary_emb)
+                k_vip = apply_rotary_emb(k_vip, vip_condition_rotary_emb)
+
+            # text_video -> vip cross attention, added with per-sample scale
+            tv_cross = flash_attention(q_tv, k_vip, v_vip)
+            # vip -> [text_video ‖ vip]
+            vip_attn_out = flash_attention(
+                q_vip,
+                jnp.concatenate([k_tv, k_vip], axis=2),
+                jnp.concatenate([v_tv, v_vip], axis=2),
+            )
+            scale = cfg.vip.scale if vip_scale is None else vip_scale
+            scale = jnp.asarray(scale, dtype=out.dtype)
+            scale = scale.reshape(scale.shape + (1,) * (out.ndim - scale.ndim))
+            out = out + scale * tv_cross
+
+        if vip_attn_out is not None:
+            merged = jnp.concatenate([out, vip_attn_out], axis=2)
+        else:
+            merged = out
+        proj = nn.Dense(inner, use_bias=True, dtype=dt, name="to_out")(
+            _merge_heads(merged)
+        )
+        text_out = proj[:, :text_len]
+        if cfg.vip is not None:
+            vip_len = vip.shape[1]
+            video_out = proj[:, text_len:-vip_len]
+            vip_out = proj[:, -vip_len:]
+        else:
+            video_out, vip_out = proj[:, text_len:], None
+        return video_out, text_out, vip_out
+
+
+class DiTBlock(nn.Module):
+    """One CogVideoX block: AdaLN-zero -> joint(+vip) attention -> AdaLN-zero -> FF
+    (`cogvideox_transformer_3d.py:221-332`). The vip stream gets its own 3-way
+    AdaLN and a separate pass through the *shared* FF."""
+
+    config: DiTConfig
+
+    @nn.compact
+    def __call__(self, carry, _):
+        hidden, text, vip, temb, ropes, key_bias, vip_scale = carry
+        cfg = self.config
+        (image_rope, vip_image_rope, vip_cond_rope) = ropes
+        text_len = text.shape[1]
+
+        norm_h, norm_t, gate, t_gate = AdaLNZero(cfg.inner_dim, dtype=cfg.dtype, name="norm1")(
+            hidden, text, temb
+        )
+        if cfg.vip is not None:
+            norm_vip, vip_gate = VIPAdaLN(cfg.inner_dim, dtype=cfg.dtype, name="vip_norm1")(
+                vip, temb
+            )
+        else:
+            norm_vip = None
+
+        tv = jnp.concatenate([norm_t, norm_h], axis=1)
+        video_attn, text_attn, vip_attn = JointVIPAttention(cfg, name="attn1")(
+            tv, norm_vip, text_len, image_rope, vip_image_rope, vip_cond_rope,
+            key_bias, vip_scale,
+        )
+        hidden = hidden + gate * video_attn
+        text = text + t_gate * text_attn
+        if cfg.vip is not None:
+            vip = vip + vip_gate * vip_attn
+
+        norm_h, norm_t, gate2, t_gate2 = AdaLNZero(cfg.inner_dim, dtype=cfg.dtype, name="norm2")(
+            hidden, text, temb
+        )
+        ff = FeedForward(cfg.inner_dim, dtype=cfg.dtype, name="ff")
+        ff_out = ff(jnp.concatenate([norm_t, norm_h], axis=1))
+        hidden = hidden + gate2 * ff_out[:, text_len:]
+        text = text + t_gate2 * ff_out[:, :text_len]
+        if cfg.vip is not None:
+            norm_vip2, vip_gate2 = VIPAdaLN(cfg.inner_dim, dtype=cfg.dtype, name="vip_norm2")(
+                vip, temb
+            )
+            vip = vip + vip_gate2 * ff(norm_vip2)
+
+        return (hidden, text, vip, temb, ropes, key_bias, vip_scale), None
+
+
+class CogVideoXTransformer(nn.Module):
+    """Full DiT. Forward signature mirrors the reference's
+    `CogVideoXTransformer3DModel.forward` (`cogvideox_transformer_3d.py:636-770`)
+    with torch-isms replaced by explicit data:
+
+    * ``timestep``: [B] or [B, F] int array (per-frame timesteps are first-class),
+    * ``vip_hidden_states``: pre-resampled condensed tokens [B, Tq, Cv, Hq, Wq],
+    * rotary tables are passed in (computed host-side per shape),
+    * ``key_bias``: optional [B, T+Sv] additive attention mask (T2To padded chunks).
+
+    Returns [B, F, C, H, W] (unpatchified prediction) when
+    ``use_output_projection`` else the raw normed hidden states reshaped to
+    [B, F, C, H, W] token layout (T2To raw-token mode).
+    """
+
+    config: DiTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,  # [B, F, C, H, W]
+        encoder_hidden_states: jnp.ndarray,  # [B, T, text_embed_dim]
+        timestep: jnp.ndarray,  # [B] or [B, F]
+        vip_hidden_states: Optional[jnp.ndarray] = None,
+        image_rotary_emb: Optional[Rope] = None,
+        vip_image_rotary_emb: Optional[Rope] = None,
+        vip_condition_rotary_emb: Optional[Rope] = None,
+        vip_pos_embedding: Optional[jnp.ndarray] = None,
+        key_bias: Optional[jnp.ndarray] = None,
+        vip_scale: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        b, f, c, h, w = hidden_states.shape
+        p = cfg.patch_size
+        dt = cfg.dtype
+
+        # 1. time embedding: [B(,F)] -> [B, Ft, time_embed_dim]
+        ts = timestep if timestep.ndim == 2 else timestep[:, None]
+        ft = ts.shape[1]
+        t_feat = timestep_sinusoidal(ts.reshape(-1), cfg.inner_dim).astype(dt)
+        temb = TimestepEmbedding(cfg.time_embed_dim, dtype=dt, name="time_embedding")(
+            t_feat
+        ).reshape(b, ft, cfg.time_embed_dim)
+
+        # 2. patch embedding
+        text = nn.Dense(cfg.inner_dim, dtype=dt, name="text_proj")(
+            encoder_hidden_states.astype(dt)
+        )
+        if cfg.use_output_projection:
+            x = hidden_states.astype(dt).reshape(b * f, c, h, w).transpose(0, 2, 3, 1)
+            x = nn.Conv(
+                cfg.inner_dim, (p, p), strides=(p, p), padding="VALID", dtype=dt,
+                name="patch_proj",
+            )(x)
+            video = x.reshape(b, f * (h // p) * (w // p), cfg.inner_dim)
+        else:
+            video = hidden_states.astype(dt).transpose(0, 1, 3, 4, 2).reshape(b, f * h * w, c)
+            video = nn.Dense(cfg.inner_dim, dtype=dt, name="patch_proj_dense")(video)
+
+        vip = None
+        if cfg.vip is not None:
+            assert vip_hidden_states is not None
+            bv, tv, cv, hv, wv = vip_hidden_states.shape
+            vtokens = vip_hidden_states.astype(dt).transpose(0, 1, 3, 4, 2).reshape(
+                bv, tv * hv * wv, cv
+            )
+            vip = nn.Dense(cfg.inner_dim, dtype=dt, name="vip_proj")(vtokens)
+
+        if not cfg.use_rotary_positional_embeddings:
+            # 2b-style absolute sincos embeddings (precomputed, passed via module
+            # constant); text part is zero.
+            from tokensgen_tpu.core.rope import get_3d_sincos_pos_embed
+
+            pe = get_3d_sincos_pos_embed(
+                cfg.inner_dim,
+                (w // p, h // p),
+                f,
+                cfg.spatial_interpolation_scale,
+                cfg.temporal_interpolation_scale,
+            ).reshape(1, -1, cfg.inner_dim)
+            video = video + jnp.asarray(pe, dtype=dt)
+            if vip is not None and vip_pos_embedding is not None:
+                vip = vip + vip_pos_embedding.astype(dt)
+
+        text_len = text.shape[1]
+
+        # 3. transformer blocks under scan (stacked params)
+        block_cls = DiTBlock
+        if cfg.remat:
+            block_cls = nn.remat(DiTBlock, prevent_cse=False)
+        blocks = nn.scan(
+            block_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.num_layers,
+            metadata_params={nn.PARTITION_NAME: "layers"},
+        )(cfg, name="blocks")
+        ropes = (image_rotary_emb, vip_image_rotary_emb, vip_condition_rotary_emb)
+        carry = (video, text, vip, temb, ropes, key_bias, vip_scale)
+        (video, text, vip, *_), _ = blocks(carry, None)
+
+        # 4. final norm (+ output head)
+        if not cfg.use_rotary_positional_embeddings:
+            hidden = LayerNorm(name="norm_final")(video)
+        else:
+            seq = [text, video] if vip is None else [text, vip, video]
+            # reference concatenates [text(+vip)] then video and takes the tail
+            joint = jnp.concatenate([text] + ([vip] if vip is not None else []) + [video], axis=1)
+            joint = LayerNorm(name="norm_final")(joint)
+            hidden = joint[:, -video.shape[1]:]
+
+        if cfg.use_output_projection:
+            hidden = AdaLayerNormOut(cfg.inner_dim, dtype=dt, name="norm_out")(hidden, temb)
+            hidden = nn.Dense(p * p * cfg.out_channels, dtype=dt, name="proj_out")(hidden)
+            out = hidden.reshape(b, f, h // p, w // p, cfg.out_channels, p, p)
+            out = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(b, f, cfg.out_channels, h, w)
+        else:
+            hidden = AdaLayerNormOut(
+                cfg.inner_dim, dtype=dt, elementwise_affine=False, name="norm_out"
+            )(hidden, temb)
+            out = hidden.reshape(b, f, h, w, -1).transpose(0, 1, 4, 2, 3)
+        return out
+
+
+def graft_vip_params(params, config: DiTConfig):
+    """Initialise the VIP branch from the base attention weights, as the reference
+    does when grafting adapters onto a pretrained model
+    (`cogvideox_transformer_3d.py:207-218`): vip_to_{q,k,v} <- to_{q,k,v},
+    vip_norm_{q,k} <- norm_{q,k}. Operates on the stacked scan params pytree."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    out = dict(flat)
+    for key, val in flat.items():
+        key_s = "/".join(str(k) for k in key)
+        if "attn1" in key_s:
+            for base, vip_name in (
+                ("to_q", "vip_to_q"),
+                ("to_k", "vip_to_k"),
+                ("to_v", "vip_to_v"),
+                ("norm_q", "vip_norm_q"),
+                ("norm_k", "vip_norm_k"),
+            ):
+                if base in key:
+                    new_key = tuple(vip_name if k == base else k for k in key)
+                    if new_key in flat:
+                        out[new_key] = val
+    return flax.traverse_util.unflatten_dict(out)

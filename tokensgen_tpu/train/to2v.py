@@ -1,0 +1,172 @@
+"""To2V adapter training: data-parallel pjit train step.
+
+Reference semantics (`/root/reference/train_cogvideo_to2v.py`):
+* freeze the whole DiT except the ``vip_*`` parameters; train those + the full
+  Resampler (`:1455-1481`),
+* two timestep regimes mixed by ``diff_timesteps_ratio`` — per-frame FIFO ramps vs
+  uniform (optionally rank-stratified) (`:1773-1818`),
+* v-pred x0-space weighted loss (`:1995-2004`), grad clip 1.0, AdamW, constant lr
+  2e-4, bf16 compute with fp32 master weights.
+
+TPU design: one jitted SPMD step over the mesh ``data`` axis — params replicated,
+batch sharded, gradient psum inserted by XLA (replaces accelerate/DDP/NCCL).
+Frozen-base masking is an `optax.multi_transform` over a label pytree, so the
+optimizer holds state only for trainable leaves.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from tokensgen_tpu.core import schedule as S
+from tokensgen_tpu.models.dit import CogVideoXTransformer, DiTConfig
+from tokensgen_tpu.models.resampler import Resampler, ResamplerConfig
+from tokensgen_tpu.train import objective
+
+
+@dataclasses.dataclass(frozen=True)
+class To2VTrainConfig:
+    learning_rate: float = 2e-4
+    weight_decay: float = 1e-4
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.95
+    adam_eps: float = 1e-8
+    max_grad_norm: float = 1.0
+    diff_timesteps_ratio: float = 0.4
+    inference_timesteps: int = 52
+    num_processes: int = 1  # data-parallel ranks for stratified t sampling
+
+
+def trainable_labels(params: Dict) -> Dict:
+    """Label pytree: 'train' for vip_* DiT params and all resampler params,
+    'freeze' otherwise (mirrors `train_cogvideo_to2v.py:1455-1481`)."""
+    flat = flax.traverse_util.flatten_dict(params)
+    labels = {}
+    for key in flat:
+        path = "/".join(str(k) for k in key)
+        if path.startswith("resampler/") or "vip_" in path:
+            labels[key] = "train"
+        else:
+            labels[key] = "freeze"
+    return flax.traverse_util.unflatten_dict(labels)
+
+
+def make_optimizer(params: Dict, cfg: To2VTrainConfig) -> optax.GradientTransformation:
+    adamw = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(
+            cfg.learning_rate,
+            b1=cfg.adam_beta1,
+            b2=cfg.adam_beta2,
+            eps=cfg.adam_eps,
+            weight_decay=cfg.weight_decay,
+        ),
+    )
+    return optax.multi_transform(
+        {"train": adamw, "freeze": optax.set_to_zero()}, trainable_labels(params)
+    )
+
+
+def make_train_step(
+    dit_config: DiTConfig,
+    resampler_config: ResamplerConfig,
+    sched: S.DiffusionSchedule,
+    cfg: To2VTrainConfig,
+    optimizer: optax.GradientTransformation,
+):
+    """Returns `train_step(params, opt_state, batch, rng) -> (params, opt_state,
+    metrics)`, a pure function to be jitted / pjitted by the caller.
+
+    ``params`` = {"dit": ..., "resampler": ...}.
+    ``batch``:
+      latents        [B, F, C, H, W]  clean VAE latents of the training window
+      vip_input      [B, Fv, N, E]    per-frame patch tokens feeding the resampler
+      text_embeds    [B, T, text_dim]
+      image_rotary_emb / vip_image_rotary_emb / vip_condition_rotary_emb: rope pairs
+      process_index  scalar int (optional; for stratified timestep sampling)
+    """
+    dit = CogVideoXTransformer(dit_config)
+    resampler = Resampler(resampler_config)
+
+    def loss_fn(params, batch, rng):
+        r_t, r_noise, r_mix = jax.random.split(rng, 3)
+        latents = batch["latents"]
+        b, f = latents.shape[0], latents.shape[1]
+
+        t_uniform = objective.sample_uniform_timesteps(
+            r_t, b, sched.config.num_train_timesteps,
+            batch.get("process_index"), cfg.num_processes,
+        )
+        t_ramp = objective.sample_fifo_ramp_timesteps(
+            r_t, b, f, sched.config.num_train_timesteps, cfg.inference_timesteps
+        )
+        use_ramp = jax.random.uniform(r_mix, ()) < cfg.diff_timesteps_ratio
+        timesteps = jnp.where(use_ramp, t_ramp, jnp.broadcast_to(t_uniform[:, None], (b, f)))
+
+        noise = jax.random.normal(r_noise, latents.shape, dtype=latents.dtype)
+        noisy = S.add_noise(sched, latents, noise, timesteps)
+
+        vip_tokens = resampler.apply(
+            {"params": params["resampler"]},
+            batch["vip_input"],
+            batch.get("resampler_image_rotary_emb"),
+            batch.get("resampler_sampling_rotary_emb"),
+        )
+        model_out = dit.apply(
+            {"params": params["dit"]},
+            noisy,
+            batch["text_embeds"],
+            timesteps,
+            vip_hidden_states=vip_tokens,
+            image_rotary_emb=batch.get("image_rotary_emb"),
+            vip_image_rotary_emb=batch.get("vip_image_rotary_emb"),
+            vip_condition_rotary_emb=batch.get("vip_condition_rotary_emb"),
+        ).astype(jnp.float32)
+        loss = objective.x0_weighted_loss(
+            sched, model_out, noisy.astype(jnp.float32), latents.astype(jnp.float32),
+            timesteps,
+        )
+        return loss
+
+    def train_step(params, opt_state, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        gnorm = optax.global_norm(grads)
+        return params, opt_state, {"loss": loss, "grad_norm": gnorm}
+
+    return train_step
+
+
+def init_params(
+    dit_config: DiTConfig,
+    resampler_config: ResamplerConfig,
+    rng: jax.Array,
+    example_batch: Dict[str, Any],
+) -> Dict[str, Any]:
+    from tokensgen_tpu.models.dit import graft_vip_params
+
+    dit = CogVideoXTransformer(dit_config)
+    resampler = Resampler(resampler_config)
+    r1, r2 = jax.random.split(rng)
+    rs_params = resampler.init(r1, example_batch["vip_input"])["params"]
+    vip_tokens = resampler.apply({"params": rs_params}, example_batch["vip_input"])
+    b, f = example_batch["latents"].shape[:2]
+    dit_vars = dit.init(
+        r2,
+        example_batch["latents"],
+        example_batch["text_embeds"],
+        jnp.zeros((b, f), jnp.int32),
+        vip_hidden_states=vip_tokens,
+        image_rotary_emb=example_batch.get("image_rotary_emb"),
+        vip_image_rotary_emb=example_batch.get("vip_image_rotary_emb"),
+        vip_condition_rotary_emb=example_batch.get("vip_condition_rotary_emb"),
+    )
+    dit_params = graft_vip_params(dit_vars["params"], dit_config)
+    return {"dit": dit_params, "resampler": rs_params}
