@@ -1,0 +1,122 @@
+"""Benchmark: sec/denoise-step of the CogVideoX-5b To2V DiT on one TPU chip.
+
+Workload = BASELINE.md config #2's hot loop: one CFG denoise step of a 49-frame
+720x480 clip — 13 latent frames (60x90 -> 2x2 patches -> 17,550 video tokens) +
+226 text tokens + 480 VIP tokens through the 42-layer/3072-dim DiT, twice
+(uncond/cond), in bf16 with Pallas flash attention.
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is computed
+against an analytic estimate of the reference on its implied hardware (A100-80GB,
+312 TFLOP/s bf16 peak, 40% MFU — a generous utilisation for a torch SDPA DiT of
+this shape): est_ref_sec = flops / (312e12 * 0.40). vs_baseline > 1 means this
+framework on one v5e chip beats that estimate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tokensgen_tpu.core.rope import get_3d_rotary_pos_embed_v2
+    from tokensgen_tpu.models.dit import CogVideoXTransformer, DiTConfig, VIPConfig
+    from tokensgen_tpu.utils.params import init_params_bf16, param_count
+
+    layers = int(os.environ.get("BENCH_LAYERS", "42"))
+    use_vip = os.environ.get("BENCH_VIP", "1") == "1"
+    full_layers = 42
+
+    vc = VIPConfig() if use_vip else None
+    cfg = DiTConfig.cogvideox_5b(num_layers=layers, vip=vc)
+    b, f, h, w = 1, 13, 60, 90
+    hp, wp = h // 2, w // 2
+    d = cfg.attention_head_dim
+    s_video = f * hp * wp
+    s_text = 226
+    s_vip = 480 if use_vip else 0
+    seq = s_text + s_video + s_vip
+
+    model = CogVideoXTransformer(cfg)
+    x = jnp.zeros((b, f, 16, h, w), jnp.bfloat16)
+    text = jnp.zeros((b, s_text, 4096), jnp.bfloat16)
+    t = jnp.full((b,), 500, jnp.int32)
+    rope = get_3d_rotary_pos_embed_v2(d, np.arange(f), np.arange(hp), np.arange(wp))
+    kwargs = dict(image_rotary_emb=rope)
+    args_extra = {}
+    if use_vip:
+        vip_tokens = jnp.zeros((b, 5, 3072, 8, 12), jnp.bfloat16)
+        kwargs.update(
+            vip_image_rotary_emb=get_3d_rotary_pos_embed_v2(
+                d, np.arange(f) + 1000, np.arange(hp), np.arange(wp)),
+            vip_condition_rotary_emb=get_3d_rotary_pos_embed_v2(
+                d, np.arange(5) + 1000, np.arange(8), np.arange(12)),
+        )
+        args_extra = dict(vip_hidden_states=vip_tokens)
+
+    log(f"init bf16 params: layers={layers} vip={use_vip}")
+    t0 = time.time()
+    params = init_params_bf16(
+        model.init, jax.random.PRNGKey(0), x, text, t, **args_extra, **kwargs
+    )
+    n_params = param_count(params)
+    log(f"params: {n_params/1e9:.2f}B in {time.time()-t0:.1f}s")
+
+    fwd = jax.jit(
+        lambda p, lat, txt, ts, **kw: model.apply(p, lat, txt, ts, **kw, **kwargs)
+    )
+    t0 = time.time()
+    out = fwd(params, x, text, t, **args_extra)
+    out.block_until_ready()
+    log(f"compile+first run: {time.time()-t0:.1f}s; out {out.shape}")
+
+    n_iters = 3
+    t0 = time.time()
+    for _ in range(n_iters):
+        out = fwd(params, x, text, t, **args_extra)
+    out.block_until_ready()
+    fwd_sec = (time.time() - t0) / n_iters
+    # one denoise step = CFG pair of forwards
+    step_sec = 2.0 * fwd_sec * (full_layers / layers)
+    if layers != full_layers:
+        log(f"NOTE: extrapolated from {layers} layers to {full_layers}")
+
+    # analytic FLOPs for the full-depth model (one forward)
+    inner = cfg.inner_dim
+    ffn = 4 * inner
+    per_layer = 2 * seq * (4 * inner * inner) + 2 * seq * (2 * inner * ffn)
+    if use_vip:
+        per_layer += 2 * seq * (3 * inner * inner)  # vip qkv over joint seq
+        per_layer += 2 * s_vip * (2 * inner * ffn)  # vip ff
+    attn = 4 * seq * seq * inner
+    if use_vip:
+        attn += 4 * seq * s_vip * inner + 4 * s_vip * (seq + s_vip) * inner
+    flops_fwd = full_layers * (per_layer + attn) * b
+    est_ref_sec = 2.0 * flops_fwd / (312e12 * 0.40)
+    log(f"fwd {fwd_sec*1e3:.0f} ms; step {step_sec*1e3:.0f} ms; "
+        f"{2*flops_fwd/step_sec/1e12:.1f} TFLOP/s effective; "
+        f"est A100 ref step {est_ref_sec*1e3:.0f} ms")
+
+    print(json.dumps({
+        "metric": "to2v_5b_dit_sec_per_denoise_step",
+        "value": round(step_sec, 4),
+        "unit": "s/step (CFG pair, 13f 720x480 clip, 1 chip v5e)",
+        "vs_baseline": round(est_ref_sec / step_sec, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
