@@ -119,6 +119,43 @@ def apply_rotary_emb(x: jnp.ndarray, freqs: Rope) -> jnp.ndarray:
     return (xf * cos + rotated * sin).astype(x.dtype)
 
 
+def _rotary_1d_jnp(dim: int, pos: jnp.ndarray, theta: float = 10000.0):
+    freqs = 1.0 / (theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+    angles = pos.astype(jnp.float32)[:, None] * freqs[None, :]
+    cos = jnp.repeat(jnp.cos(angles), 2, axis=1)
+    sin = jnp.repeat(jnp.sin(angles), 2, axis=1)
+    return cos, sin
+
+
+def get_3d_rotary_pos_embed_v2_jnp(
+    embed_dim: int,
+    grid_t: jnp.ndarray,
+    grid_h: jnp.ndarray,
+    grid_w: jnp.ndarray,
+    dim_t: int | None = None,
+    dim_h: int | None = None,
+    dim_w: int | None = None,
+    theta: float = 10000.0,
+) -> Rope:
+    """Traced-grid variant of :func:`get_3d_rotary_pos_embed_v2` for use inside
+    `jit`/`scan` — the FIFO engine's rolling temporal grids are data
+    (`cogvideo_sampling_mp_fifo.py:262-271` recomputes tables per window)."""
+    dim_t = embed_dim // 4 if dim_t is None else dim_t
+    dim_h = embed_dim // 8 * 3 if dim_h is None else dim_h
+    dim_w = embed_dim // 8 * 3 if dim_w is None else dim_w
+    ft = _rotary_1d_jnp(dim_t, jnp.asarray(grid_t), theta)
+    fh = _rotary_1d_jnp(dim_h, jnp.asarray(grid_h), theta)
+    fw = _rotary_1d_jnp(dim_w, jnp.asarray(grid_w), theta)
+    T, H, W = ft[0].shape[0], fh[0].shape[0], fw[0].shape[0]
+    out = []
+    for i in range(2):
+        t = jnp.broadcast_to(ft[i][:, None, None, :], (T, H, W, ft[i].shape[-1]))
+        h = jnp.broadcast_to(fh[i][None, :, None, :], (T, H, W, fh[i].shape[-1]))
+        w = jnp.broadcast_to(fw[i][None, None, :, :], (T, H, W, fw[i].shape[-1]))
+        out.append(jnp.concatenate([t, h, w], axis=-1).reshape(T * H * W, -1))
+    return out[0], out[1]
+
+
 # ---------------------------------------------------------------------------
 # sin/cos absolute positional embeddings (CogVideoX-2b style + VIP grids)
 # ---------------------------------------------------------------------------

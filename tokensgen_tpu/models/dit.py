@@ -87,12 +87,13 @@ class DiTConfig:
 
     @classmethod
     def cogvideox_5b(cls, **kw) -> "DiTConfig":
-        return cls(
+        defaults = dict(
             num_attention_heads=48,
             num_layers=42,
             use_rotary_positional_embeddings=True,
-            **kw,
         )
+        defaults.update(kw)
+        return cls(**defaults)
 
     @classmethod
     def cogvideox_2b(cls, **kw) -> "DiTConfig":
@@ -102,15 +103,16 @@ class DiTConfig:
     def t2to_5b(cls, **kw) -> "DiTConfig":
         """T2To: 5b clone with patch_size=1 denoising condensed tokens
         [B, 4·chunks, 16, 8, 12] (`train_cogvideo_t2to.py:1269-1284`)."""
-        return cls(
+        defaults = dict(
             num_attention_heads=48,
             num_layers=42,
             use_rotary_positional_embeddings=True,
             patch_size=1,
             sample_width=12,
             sample_height=8,
-            **kw,
         )
+        defaults.update(kw)
+        return cls(**defaults)
 
     @classmethod
     def tiny(cls, **kw) -> "DiTConfig":
