@@ -1,0 +1,404 @@
+"""To2V pipeline: video-conditioned (VIP) long-video generation.
+
+JAX re-architecture of `MPFIFOVideoIPAdapterCogVideoXPipeline`
+(`/root/reference/longvgen/pipeline/pipeline_cogvideox_mp_fifo.py`) +
+`VideoIPAdapterCogVideoXPipeline` (`pipeline_cogvideox.py`). One class covers
+both reference classes: the base-clip pass, the in-process FIFO, and the
+(formerly multi-process) sharded FIFO are all jitted programs here.
+
+Stages (edit workload, `config/infer/edit.yaml`):
+1. text conditioning — precomputed T5 embeddings in, CFG-batched uncond-first
+   ([neg, pos] 2-way / [neg, pos, pos] 3-way, `:1015-1029`),
+2. `vip_encode_video` — VAE-encode the source video (+1 repeated-last-frame
+   chunk), project latent frames through the DiT's patch conv, resample each
+   13-frame chunk to 4x8x12 condensed tokens; uncond = zeros video; CFG batch is
+   [img, img] 2-way / [img, uncond_img, img] 3-way (`:562-648`),
+3. rotary tables — base 13-frame window rope with 720x480 crop coords; VIP image
+   grids over the whole video; VIP condition grids offset by
+   `video_ipadapter_start_frame_idx=1000` (`:1056-1149`),
+4. base-clip denoise with FIFO-seed snapshots (`sampling/base.py`),
+5. FIFO long-video loop (`sampling/fifo.py`) with the extended embedding/grid
+   arrays (`cogvideo_sampling_mp_fifo.py:84-108`),
+6. chunked VAE decode (`:676-684`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tokensgen_tpu.core import schedule as S
+from tokensgen_tpu.core.rope import get_3d_rotary_pos_embed, get_3d_rotary_pos_embed_v2
+from tokensgen_tpu.models.dit import CogVideoXTransformer, DiTConfig
+from tokensgen_tpu.models.resampler import Resampler, ResamplerConfig
+from tokensgen_tpu.models.vae3d import VAEConfig, VAERunner, sample_latent
+from tokensgen_tpu.sampling import base as base_sampler
+from tokensgen_tpu.sampling import fifo as fifo_engine
+
+
+@dataclasses.dataclass(frozen=True)
+class To2VConfig:
+    height: int = 480
+    width: int = 720
+    num_frames_per_chunk: int = 49  # pixel frames
+    num_inference_steps: int = 52
+    guidance_scale: float = 6.0
+    guidance_scale_img: float = 1.5
+    use_dynamic_cfg: bool = False
+    use_separate_guidance: bool = False
+    vip_scale: float = 0.6  # config/infer/edit.yaml scale: [0.6]
+    video_ipadapter_start_frame_idx: int = 1000
+    num_partitions: int = 4
+    lookahead_denoising: bool = True
+    use_adaptive_padding: bool = True
+    vae_scale_factor_spatial: int = 8
+    vae_scale_factor_temporal: int = 4
+    stochastic: bool = True
+
+    @property
+    def nf_latent(self) -> int:
+        return (self.num_frames_per_chunk - 1) // self.vae_scale_factor_temporal + 1  # 13
+
+
+def apply_patch_proj(dit_config: DiTConfig, dit_params, latents: jnp.ndarray) -> jnp.ndarray:
+    """Run only the DiT's patch conv on latent frames: [B, F, C, H, W] ->
+    [B, F, h*w, inner_dim] (the reference's `transformer.patch_embed.proj` reuse,
+    `pipeline_cogvideox_mp_fifo.py:595-597`)."""
+    p = dit_config.patch_size
+    conv = nn.Conv(dit_config.inner_dim, (p, p), strides=(p, p), padding="VALID",
+                   dtype=dit_config.dtype)
+    b, f, c, h, w = latents.shape
+    x = latents.astype(dit_config.dtype).reshape(b * f, c, h, w).transpose(0, 2, 3, 1)
+    y = conv.apply({"params": dit_params["patch_proj"]}, x)
+    return y.reshape(b, f, (h // p) * (w // p), dit_config.inner_dim)
+
+
+class To2VPipeline:
+    """Bundles params + configs; every compute stage is a jitted pure function."""
+
+    def __init__(
+        self,
+        cfg: To2VConfig,
+        dit_config: DiTConfig,
+        dit_params,
+        resampler_config: ResamplerConfig,
+        resampler_params,
+        vae_runner: Optional[VAERunner],
+        sched: Optional[S.DiffusionSchedule] = None,
+        pca=None,
+    ):
+        self.cfg = cfg
+        self.dit_config = dit_config
+        self.dit_params = dit_params
+        self.resampler_config = resampler_config
+        self.resampler_params = resampler_params
+        self.vae = vae_runner
+        self.sched = sched or S.make_schedule(S.ScheduleConfig())
+        self.pca = pca
+        self.dit = CogVideoXTransformer(dit_config)
+        self.resampler = Resampler(resampler_config)
+
+        c = cfg
+        self.grid_h = c.height // (c.vae_scale_factor_spatial * dit_config.patch_size)
+        self.grid_w = c.width // (c.vae_scale_factor_spatial * dit_config.patch_size)
+
+    # ------------------------------------------------------------------ ropes
+
+    def base_image_rope(self):
+        nf = self.cfg.nf_latent
+        crops = ([0, 0, 0], [nf, self.grid_h, self.grid_w])
+        return get_3d_rotary_pos_embed(
+            self.dit_config.attention_head_dim, crops, (nf, self.grid_h, self.grid_w)
+        )
+
+    def vip_grids(self, num_chunks: int):
+        """Host-side grid arrays (`pipeline_cogvideox_mp_fifo.py:1061-1103`)."""
+        rc = self.resampler_config
+        nf = self.cfg.nf_latent
+        off = self.cfg.video_ipadapter_start_frame_idx
+        img_t = np.arange(num_chunks * nf, dtype=np.float32)
+        img_h = np.arange(self.grid_h, dtype=np.float32)
+        img_w = np.arange(self.grid_w, dtype=np.float32)
+        cond_t = np.concatenate([
+            np.linspace(off + i * nf, off + (i + 1) * nf, rc.num_temporal_queries,
+                        endpoint=False, dtype=np.float32)
+            for i in range(num_chunks + 1)
+        ])
+        cond_h = np.linspace(0, self.grid_h, rc.num_height_queries, endpoint=False,
+                             dtype=np.float32)
+        cond_w = np.linspace(0, self.grid_w, rc.num_width_queries, endpoint=False,
+                             dtype=np.float32)
+        return img_t, img_h, img_w, cond_t, cond_h, cond_w
+
+    def resampler_ropes(self):
+        rc = self.resampler_config
+        d = self.dit_config.attention_head_dim
+        nf = self.cfg.nf_latent
+        off = self.cfg.video_ipadapter_start_frame_idx
+        image = get_3d_rotary_pos_embed_v2(
+            d, np.arange(nf, dtype=np.float32),
+            np.arange(self.grid_h, dtype=np.float32),
+            np.arange(self.grid_w, dtype=np.float32),
+        )
+        sampling = get_3d_rotary_pos_embed_v2(
+            d,
+            np.linspace(off, off + nf, rc.num_temporal_queries, endpoint=False, dtype=np.float32),
+            np.linspace(0, self.grid_h, rc.num_height_queries, endpoint=False, dtype=np.float32),
+            np.linspace(0, self.grid_w, rc.num_width_queries, endpoint=False, dtype=np.float32),
+        )
+        return image, sampling
+
+    # ------------------------------------------------------- vip conditioning
+
+    def vip_encode_video(
+        self,
+        frames: jnp.ndarray,  # [B, F_px, H, W, 3] in [-1, 1]
+        rng: Optional[jax.Array] = None,
+        do_cfg: bool = True,
+    ) -> jnp.ndarray:
+        """-> CFG-batched condensed tokens [nB, 4*(chunks+1), Cv, 8, 12]."""
+        cfg = self.cfg
+        nf_px = cfg.num_frames_per_chunk
+        b, f_px = frames.shape[0], frames.shape[1]
+        num_chunks = f_px // nf_px
+        # pad one chunk of repeated last frame (`:580-582`)
+        pad = jnp.repeat(frames[:, -1:], nf_px, axis=1)
+        video = jnp.concatenate([frames, pad], axis=1)
+
+        img_rope, smp_rope = self.resampler_ropes()
+
+        def encode_chunks(video):
+            toks = []
+            for cid in range(video.shape[1] // nf_px):
+                chunk = video[:, cid * nf_px:(cid + 1) * nf_px]
+                moments = self.vae.encode(chunk)
+                key = None if rng is None else jax.random.fold_in(rng, cid)
+                lat = sample_latent(moments, key) * self.vae.config.scaling_factor
+                lat = lat.transpose(0, 1, 4, 2, 3)  # [B, f, C, h, w]
+                tokens = apply_patch_proj(self.dit_config, self.dit_params["params"], lat)
+                toks.append(self.resampler.apply(
+                    self.resampler_params, tokens, img_rope, smp_rope, pca=self.pca,
+                ))
+            return jnp.concatenate(toks, axis=1)
+
+        cond = encode_chunks(video)
+        if not do_cfg:
+            return cond
+        uncond = encode_chunks(jnp.zeros_like(video))
+        if cfg.use_separate_guidance:
+            return jnp.concatenate([cond, uncond, cond], axis=0)
+        return jnp.concatenate([cond, cond], axis=0)
+
+    # --------------------------------------------------------------- model fn
+
+    def _model_fn(self, text_embeds_cfg: jnp.ndarray, image_rotary_emb):
+        """Closure for the samplers: (params, lat_cfg, t2d, vip_kwargs) -> pred."""
+        dit, cfg = self.dit, self.cfg
+
+        def model_fn(params, lat_cfg, t2d, vip_kwargs):
+            kw = {}
+            if vip_kwargs is not None:
+                kw = dict(
+                    vip_hidden_states=vip_kwargs["vip_hidden_states"],
+                    vip_image_rotary_emb=vip_kwargs["vip_image_rotary_emb"],
+                    vip_condition_rotary_emb=vip_kwargs["vip_condition_rotary_emb"],
+                )
+            return dit.apply(
+                params, lat_cfg.astype(self.dit_config.dtype), text_embeds_cfg, t2d,
+                image_rotary_emb=image_rotary_emb,
+                vip_scale=jnp.asarray(cfg.vip_scale),
+                **kw,
+            )
+
+        return model_fn
+
+    def cfg_text(self, prompt_embeds: jnp.ndarray, negative_embeds: jnp.ndarray):
+        if self.cfg.use_separate_guidance:
+            return jnp.concatenate([negative_embeds, prompt_embeds, prompt_embeds])
+        return jnp.concatenate([negative_embeds, prompt_embeds])
+
+    # -------------------------------------------------------------- base pass
+
+    def base_denoise(
+        self,
+        prompt_embeds: jnp.ndarray,  # [B, 226, 4096]
+        negative_embeds: jnp.ndarray,
+        image_embeddings: Optional[jnp.ndarray],  # vip tokens (CFG-batched) or None
+        num_chunks: int,
+        rng: jax.Array,
+        latents: Optional[jnp.ndarray] = None,
+    ):
+        """Denoise the base clip (chunk 0) and return (result, seed ingredients)."""
+        cfg = self.cfg
+        nf = cfg.nf_latent
+        b = prompt_embeds.shape[0]
+        h_lat = cfg.height // cfg.vae_scale_factor_spatial
+        w_lat = cfg.width // cfg.vae_scale_factor_spatial
+        if latents is None:
+            rng, key = jax.random.split(rng)
+            latents = jax.random.normal(key, (b, nf, 16, h_lat, w_lat), jnp.float32)
+
+        image_rope = self.base_image_rope()
+        text_cfg = self.cfg_text(prompt_embeds, negative_embeds)
+        model_fn = self._model_fn(text_cfg, image_rope)
+        use_vip = image_embeddings is not None
+
+        vip_kwargs = None
+        if use_vip:
+            img_t, img_h, img_w, cond_t, cond_h, cond_w = self.vip_grids(num_chunks)
+            d = self.dit_config.attention_head_dim
+            rc = self.resampler_config
+            n_vip = min(rc.num_temporal_queries + 1, nf)
+            vip_img_rope = get_3d_rotary_pos_embed_v2(d, img_t[:nf], img_h, img_w)
+            vip_cond_rope = get_3d_rotary_pos_embed_v2(d, cond_t[:n_vip], cond_h, cond_w)
+            vip_kwargs = {
+                "vip_hidden_states": image_embeddings[:, :n_vip],
+                "vip_image_rotary_emb": vip_img_rope,
+                "vip_condition_rotary_emb": vip_cond_rope,
+            }
+
+        def base_model(lat_cfg, tvec):
+            t2d = jnp.broadcast_to(tvec[:, None], (lat_cfg.shape[0], lat_cfg.shape[1]))
+            return model_fn({"params": self.dit_params["params"]}, lat_cfg, t2d, vip_kwargs)
+
+        scfg = base_sampler.SamplerConfig(
+            num_inference_steps=cfg.num_inference_steps,
+            guidance_scale=cfg.guidance_scale,
+            guidance_scale_img=cfg.guidance_scale_img,
+            use_dynamic_cfg=cfg.use_dynamic_cfg,
+            use_separate_guidance=cfg.use_separate_guidance,
+            collect_fifo=True,
+            stochastic=cfg.stochastic,
+        )
+        res = base_sampler.denoise(base_model, self.sched, scfg, latents, rng=rng)
+        return res, image_rope, model_fn
+
+    # -------------------------------------------------------------- fifo pass
+
+    def fifo_seed(self, res, image_rope, image_embeddings, num_chunks: int):
+        """Assemble the engine's seed: extended grids + embeddings
+        (`cogvideo_sampling_mp_fifo.py:84-108,148-173`)."""
+        cfg = self.cfg
+        nf = cfg.nf_latent
+        steps = cfg.num_inference_steps
+        r_nf = nf // 2
+        num_frames = num_chunks * nf
+        num_iters = num_frames + steps - nf
+        ts = S.inference_timesteps(self.sched.config, steps)
+
+        vip_state = None
+        if image_embeddings is not None:
+            img_t, img_h, img_w, cond_t, cond_h, cond_w = self.vip_grids(num_chunks)
+            rc = self.resampler_config
+            vq = rc.num_temporal_queries
+            initial = np.concatenate([
+                np.full(r_nf + steps - nf, img_t[0], dtype=np.float32), img_t[:nf]
+            ])
+            queue = np.concatenate([
+                img_t[nf:],
+                np.linspace(img_t[-1] + 1, img_t[-1] + 1 + steps, steps,
+                            endpoint=False, dtype=np.float32),
+            ])
+            g_full = np.concatenate([initial, queue])
+            queue_len = r_nf + steps
+            assert len(g_full) == queue_len + num_iters, (len(g_full), num_iters)
+            n_ext = steps // nf + 1
+            cond_ext = np.concatenate(
+                [cond_t] + [cond_t[-vq:] + (i + 1) * nf for i in range(n_ext)]
+            )
+            emb_ext = jnp.concatenate(
+                [image_embeddings]
+                + [image_embeddings[:, -vq:]] * n_ext, axis=1
+            )
+            vip_state = fifo_engine.VIPState(
+                image_embeddings=emb_ext,
+                image_grid_t_full=jnp.asarray(g_full),
+                condition_grid_t=jnp.asarray(cond_ext),
+                image_grid_h=img_h, image_grid_w=img_w,
+                condition_grid_h=cond_h, condition_grid_w=cond_w,
+                vip_nf_per_chunk=vq,
+            )
+
+        return fifo_engine.FIFOSeed(
+            fifo_latents=res.fifo_latents,
+            fifo_old_x0=res.fifo_old_x0,
+            fifo_old_valid=res.fifo_old_valid,
+            timesteps=ts,
+            image_rotary_emb=image_rope,
+            vip=vip_state,
+        )
+
+    def generate(
+        self,
+        prompt_embeds: jnp.ndarray,
+        negative_embeds: jnp.ndarray,
+        frames: Optional[jnp.ndarray] = None,  # source video for editing
+        image_embeddings: Optional[jnp.ndarray] = None,  # or precomputed tokens
+        num_chunks: int = 4,
+        rng: Optional[jax.Array] = None,
+        mesh=None,
+        cache_idx: Tuple[int, ...] = (),
+        decode: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """Full edit/generation run: base pass -> FIFO -> (optional) decode."""
+        cfg = self.cfg
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        rng, r_vip, r_base, r_fifo = jax.random.split(rng, 4)
+
+        if image_embeddings is None and frames is not None:
+            image_embeddings = self.vip_encode_video(frames, rng=r_vip)
+
+        res, image_rope, model_fn = self.base_denoise(
+            prompt_embeds, negative_embeds, image_embeddings, num_chunks, r_base
+        )
+        seed = self.fifo_seed(res, image_rope, image_embeddings, num_chunks)
+
+        fcfg = fifo_engine.FIFOConfig(
+            nf_per_chunk=cfg.nf_latent,
+            num_partitions=cfg.num_partitions,
+            num_inference_steps=cfg.num_inference_steps,
+            num_frames=num_chunks * cfg.nf_latent,
+            lookahead_denoising=cfg.lookahead_denoising,
+            use_adaptive_padding=cfg.use_adaptive_padding,
+            guidance_scale=cfg.guidance_scale,
+            guidance_scale_img=cfg.guidance_scale_img,
+            use_dynamic_cfg=cfg.use_dynamic_cfg,
+            use_separate_guidance=cfg.use_separate_guidance,
+            stochastic=cfg.stochastic,
+            video_ipadapter_start_frame_idx=cfg.video_ipadapter_start_frame_idx,
+            vip_rope_dims=(
+                self.dit_config.attention_head_dim // 4,
+                self.dit_config.attention_head_dim // 8 * 3,
+                self.dit_config.attention_head_dim // 8 * 3,
+            ),
+        )
+        fifo_res = fifo_engine.fifo_generate(
+            model_fn, {"params": self.dit_params["params"]}, self.sched, fcfg, seed,
+            rng=r_fifo, cache_idx=cache_idx, mesh=mesh,
+        )
+
+        out = {
+            "latents": fifo_res.latents,
+            "orig_latents": res.latents,
+            "cache_x0": fifo_res.cache_x0,
+            "cache_valid": fifo_res.cache_valid,
+        }
+        if decode and self.vae is not None:
+            out["video"] = self.decode_latents(fifo_res.latents)
+            out["orig_video"] = self.decode_latents(res.latents)
+        return out
+
+    def decode_latents(self, latents: jnp.ndarray) -> jnp.ndarray:
+        """Chunked decode (`:676-684`): [B, F, C, h, w] -> [B, F_px, H, W, 3]."""
+        nf = self.cfg.nf_latent
+        z = latents / self.vae.config.scaling_factor
+        z = z.transpose(0, 1, 3, 4, 2)  # channels-last for the VAE
+        outs = []
+        for cid in range(z.shape[1] // nf):
+            outs.append(self.vae.decode(z[:, cid * nf:(cid + 1) * nf]))
+        return jnp.concatenate(outs, axis=1)
