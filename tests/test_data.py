@@ -1,0 +1,109 @@
+"""Data layer tests with synthetic videos (cv2-backed IO)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tokensgen_tpu.data import (
+    MiraDataset, VAEMiraDataset, batch_iterator, collate,
+    load_video, read_frames, write_video,
+)
+from tokensgen_tpu.data.transforms import ResolutionControl, resize_for_rectangle_crop
+
+
+@pytest.fixture(scope="module")
+def video_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mira")
+    shard = root / "000000000"
+    shard.mkdir()
+    rng = np.random.default_rng(0)
+    for idx in (1, 2):
+        frames = (rng.uniform(0, 255, size=(120, 64, 96, 3))).astype(np.uint8)
+        write_video(str(shard / f"{idx}.mp4"), frames, fps=30.0)
+    csv = root / "index.csv"
+    csv.write_text("index,dense_caption\n1,a red car\n2,a blue sky\n")
+    return root
+
+
+def test_write_read_roundtrip(video_dir):
+    path = str(video_dir / "000000000" / "1.mp4")
+    frames = read_frames(path)
+    assert frames.shape[1:] == (64, 96, 3)
+    assert frames.shape[0] > 100
+
+
+def test_load_video_fps_resample(video_dir):
+    path = str(video_dir / "000000000" / "1.mp4")
+    out = load_video(path, sample_fps=10.0, output_res=(32, 48))
+    # 120 frames @30fps -> 4s -> ~40 frames @10fps
+    assert out.shape[0] == 1
+    assert abs(out.shape[1] - 40) <= 1
+    assert out.shape[2:] == (32, 48, 3)
+    assert out.min() >= -1.0 and out.max() <= 1.0
+
+
+def test_resize_for_rectangle_crop():
+    frames = np.zeros((2, 50, 100, 3), np.float32)
+    out = resize_for_rectangle_crop(frames, (48, 48))
+    assert out.shape == (2, 48, 48, 3)
+
+
+def test_resolution_control_pad_inverse():
+    rc = ResolutionControl((64, 64), pad_to_fit=True, crop_to_fit=False)
+    frames = np.random.default_rng(1).uniform(size=(2, 32, 64, 3)).astype(np.float32)
+    out = rc(frames)
+    assert out.shape == (2, 64, 64, 3)
+    back = rc.inverse(out)
+    assert back.shape == (2, 32, 64, 3)
+    np.testing.assert_allclose(back, frames, atol=0.2)
+
+
+def test_mira_dataset(video_dir):
+    ds = MiraDataset(
+        str(video_dir / "index.csv"), str(video_dir), height=32, width=48,
+        sample_fps=10.0, chunk_size=9, max_num_chunks=2, seed=0,
+        use_frames_padding=True,
+    )
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["pixel_values"].shape == (18, 32, 48, 3)
+    assert item["prompt"] in ("a red car", "")
+    assert item["valid_num_chunks"] == 2
+    assert "start_frame_idx" in item
+
+
+def test_vae_mira_dataset(video_dir, tmp_path):
+    lat_dir = tmp_path / "latents" / "000000000"
+    lat_dir.mkdir(parents=True)
+    rng = np.random.default_rng(2)
+    np.save(lat_dir / "1_vae_c02.npy", rng.normal(size=(26, 16, 4, 6)).astype(np.float32))
+    ds = VAEMiraDataset(str(video_dir / "index.csv"), str(tmp_path / "latents"),
+                        max_num_chunks=4, seed=0)
+    item = ds[0]
+    assert item["vae_latents"].shape == (52, 16, 4, 6)
+    assert item["valid_num_chunks"] == 2
+    # padded region is zero
+    assert np.abs(item["vae_latents"][26:]).sum() == 0
+
+
+def test_batch_iterator(video_dir):
+    ds = MiraDataset(
+        str(video_dir / "index.csv"), str(video_dir), height=32, width=48,
+        sample_fps=10.0, chunk_size=9, max_num_chunks=1, seed=0,
+    )
+    batches = list(batch_iterator(ds, batch_size=2, seed=1, prefetch=2))
+    assert len(batches) == 1
+    assert batches[0]["pixel_values"].shape == (2, 9, 32, 48, 3)
+    assert len(batches[0]["prompt"]) == 2
+
+
+def test_batch_iterator_sharding(video_dir):
+    ds = MiraDataset(
+        str(video_dir / "index.csv"), str(video_dir), height=32, width=48,
+        sample_fps=10.0, chunk_size=9, max_num_chunks=1, seed=0,
+    )
+    b0 = list(batch_iterator(ds, 1, seed=2, num_shards=2, shard_index=0))
+    b1 = list(batch_iterator(ds, 1, seed=2, num_shards=2, shard_index=1))
+    assert len(b0) == 1 and len(b1) == 1
+    assert b0[0]["video_index"][0] != b1[0]["video_index"][0]

