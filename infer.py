@@ -162,7 +162,8 @@ def main():
             src = load_video(
                 item["video"],
                 sample_fps=item.get("sample_fps", 10),
-                output_res=tuple(item.get("output_res", [pipe.cfg.height, pipe.cfg.width])),
+                # the pipeline resolution defines the model input size
+                output_res=(pipe.cfg.height, pipe.cfg.width),
                 max_frames=num_chunks * pipe.cfg.num_frames_per_chunk,
             )
             frames = jnp.asarray(src)

@@ -14,8 +14,7 @@ from tokensgen_tpu.models.vae3d import AutoencoderKLCogVideoX, VAEConfig, VAERun
 from tokensgen_tpu.pipelines.to2v import To2VConfig, To2VPipeline
 
 
-@pytest.fixture(scope="module")
-def pipe():
+def build_tiny_pipe():
     cfg = To2VConfig(
         height=32, width=48, num_frames_per_chunk=9, num_inference_steps=6,
         num_partitions=2, stochastic=False,
@@ -57,6 +56,11 @@ def pipe():
 
     sched = S.make_schedule(S.ScheduleConfig())
     return To2VPipeline(cfg, dcfg, dit_params, rcfg, rs_params, vae_runner, sched)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return build_tiny_pipe()
 
 
 def test_vip_encode_video(pipe):

@@ -44,10 +44,21 @@ from tokensgen_tpu.models.layers import (
 
 @dataclasses.dataclass(frozen=True)
 class VIPConfig:
-    """Video IP-Adapter conditioning branch (SURVEY §2 #2/#4)."""
+    """Video IP-Adapter conditioning branch (SURVEY §2 #2/#4).
+
+    ``func_type`` selects the processor variant
+    (`attention_processor.py:1955-2662`):
+      "1" (shipped): bidirectional — [text‖video]→vip cross-attn added with scale,
+          vip stream attends [text‖video‖vip];
+      "2": video-only queries for the cross-attn (text untouched by vip), vip
+          stream attends [video‖vip];
+      "3": one-way — video→vip cross-attn only, vip stream passes through blocks
+          unchanged.
+    """
 
     length: int = 480  # vip tokens per forward = 5 query-frames x 8 x 12
     scale: float = 1.0
+    func_type: str = "1"
     output_dim: int = 3072  # resampler output dim feeding vip_proj
     num_temporal_queries: int = 4
     num_height_queries: int = 8
@@ -199,10 +210,13 @@ class JointVIPAttention(nn.Module):
         out = flash_attention(q, k, v, key_bias=key_bias)  # [B, H, T+Sv, d]
 
         vip_attn_out = None
+        ft = cfg.vip.func_type if cfg.vip is not None else None
         if cfg.vip is not None:
             assert vip is not None
-            tv_len = text_video.shape[1]
-            both = jnp.concatenate([text_video, vip], axis=1)
+            # "1": vip-projected queries/keys over [text‖video]; "2"/"3": video only
+            tv_input = text_video if ft == "1" else text_video[:, text_len:]
+            tv_len = tv_input.shape[1]
+            both = jnp.concatenate([tv_input, vip], axis=1)
             vq = _split_heads(dense("vip_to_q")(both), heads)
             vk = _split_heads(dense("vip_to_k")(both), heads)
             vv = _split_heads(dense("vip_to_v")(both), heads)
@@ -212,24 +226,36 @@ class JointVIPAttention(nn.Module):
             q_tv, q_vip = vq[:, :, :tv_len], vq[:, :, tv_len:]
             k_tv, k_vip = vk[:, :, :tv_len], vk[:, :, tv_len:]
             v_tv, v_vip = vv[:, :, :tv_len], vv[:, :, tv_len:]
-            q_tv = rope_video_part(q_tv, vip_image_rotary_emb)
-            k_tv = rope_video_part(k_tv, vip_image_rotary_emb)
-            if vip_condition_rotary_emb is not None:
+            if ft == "1":
+                q_tv = rope_video_part(q_tv, vip_image_rotary_emb)
+                k_tv = rope_video_part(k_tv, vip_image_rotary_emb)
+            elif vip_image_rotary_emb is not None:
+                q_tv = apply_rotary_emb(q_tv, vip_image_rotary_emb)
+                k_tv = apply_rotary_emb(k_tv, vip_image_rotary_emb)
+            if vip_condition_rotary_emb is not None and ft != "3":
                 q_vip = apply_rotary_emb(q_vip, vip_condition_rotary_emb)
+            if vip_condition_rotary_emb is not None:
                 k_vip = apply_rotary_emb(k_vip, vip_condition_rotary_emb)
 
-            # text_video -> vip cross attention, added with per-sample scale
+            # (text_)video -> vip cross attention, added with per-sample scale
             tv_cross = flash_attention(q_tv, k_vip, v_vip)
-            # vip -> [text_video ‖ vip]
-            vip_attn_out = flash_attention(
-                q_vip,
-                jnp.concatenate([k_tv, k_vip], axis=2),
-                jnp.concatenate([v_tv, v_vip], axis=2),
-            )
             scale = cfg.vip.scale if vip_scale is None else vip_scale
             scale = jnp.asarray(scale, dtype=out.dtype)
             scale = scale.reshape(scale.shape + (1,) * (out.ndim - scale.ndim))
-            out = out + scale * tv_cross
+            if ft == "1":
+                out = out + scale * tv_cross
+            else:  # video positions only; text untouched (`:2271-2272,2401`)
+                out = jnp.concatenate(
+                    [out[:, :, :text_len], out[:, :, text_len:] + scale * tv_cross],
+                    axis=2,
+                )
+            if ft != "3":
+                # vip -> [(text_)video ‖ vip] (`:2120-2125,2264-2269`)
+                vip_attn_out = flash_attention(
+                    q_vip,
+                    jnp.concatenate([k_tv, k_vip], axis=2),
+                    jnp.concatenate([v_tv, v_vip], axis=2),
+                )
 
         if vip_attn_out is not None:
             merged = jnp.concatenate([out, vip_attn_out], axis=2)
@@ -239,10 +265,13 @@ class JointVIPAttention(nn.Module):
             _merge_heads(merged)
         )
         text_out = proj[:, :text_len]
-        if cfg.vip is not None:
+        if cfg.vip is not None and ft != "3":
             vip_len = vip.shape[1]
             video_out = proj[:, text_len:-vip_len]
             vip_out = proj[:, -vip_len:]
+        elif cfg.vip is not None:
+            # V3: vip stream bypasses attention entirely (`:2404-2416`)
+            video_out, vip_out = proj[:, text_len:], vip
         else:
             video_out, vip_out = proj[:, text_len:], None
         return video_out, text_out, vip_out
@@ -262,13 +291,17 @@ class DiTBlock(nn.Module):
         (image_rope, vip_image_rope, vip_cond_rope) = ropes
         text_len = text.shape[1]
 
+        ft = cfg.vip.func_type if cfg.vip is not None else None
         norm_h, norm_t, gate, t_gate = AdaLNZero(cfg.inner_dim, dtype=cfg.dtype, name="norm1")(
             hidden, text, temb
         )
-        if cfg.vip is not None:
+        if cfg.vip is not None and ft != "3":
             norm_vip, vip_gate = VIPAdaLN(cfg.inner_dim, dtype=cfg.dtype, name="vip_norm1")(
                 vip, temb
             )
+        elif cfg.vip is not None:
+            # V3: vip stream untouched (`cogvideox_transformer_3d.py:260-262`)
+            norm_vip, vip_gate = vip, 0.0
         else:
             norm_vip = None
 
@@ -289,7 +322,7 @@ class DiTBlock(nn.Module):
         ff_out = ff(jnp.concatenate([norm_t, norm_h], axis=1))
         hidden = hidden + gate2 * ff_out[:, text_len:]
         text = text + t_gate2 * ff_out[:, :text_len]
-        if cfg.vip is not None:
+        if cfg.vip is not None and ft != "3":
             norm_vip2, vip_gate2 = VIPAdaLN(cfg.inner_dim, dtype=cfg.dtype, name="vip_norm2")(
                 vip, temb
             )

@@ -393,6 +393,96 @@ class To2VPipeline:
             out["orig_video"] = self.decode_latents(res.latents)
         return out
 
+    # ----------------------------------------------- alternate sampling modes
+
+    def denoise_together(
+        self,
+        prompt_embeds: jnp.ndarray,
+        negative_embeds: jnp.ndarray,
+        image_embeddings: Optional[jnp.ndarray],
+        num_chunks: int,
+        rng: Optional[jax.Array] = None,
+        latents: Optional[jnp.ndarray] = None,
+        freeinit_iters: int = 0,
+    ) -> jnp.ndarray:
+        """`sampling_mode: denoising_together` — denoise all chunks jointly: each
+        step runs the DiT once per chunk (per-chunk VIP slices/grids) and steps
+        the whole multi-chunk latent at once (the base pipeline's chunk loop with
+        `num_chunks_wo_fifo = num_chunks`, `pipeline_cogvideox.py:919-920,1264`).
+        ``freeinit_iters > 0`` adds FreeInit frequency re-initialisation passes
+        (`sampling_mode: fifo_freeinit` analogue)."""
+        cfg = self.cfg
+        nf = cfg.nf_latent
+        b = prompt_embeds.shape[0]
+        h_lat = cfg.height // cfg.vae_scale_factor_spatial
+        w_lat = cfg.width // cfg.vae_scale_factor_spatial
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        rng, key = jax.random.split(rng)
+        if latents is None:
+            latents = jax.random.normal(
+                key, (b, nf * num_chunks, 16, h_lat, w_lat), jnp.float32)
+
+        image_rope = self.base_image_rope()
+        text_cfg = self.cfg_text(prompt_embeds, negative_embeds)
+        model_fn = self._model_fn(text_cfg, image_rope)
+        use_vip = image_embeddings is not None
+        d = self.dit_config.attention_head_dim
+        rc = self.resampler_config
+        n_vip = min(rc.num_temporal_queries + 1, nf)
+
+        chunk_vip_kwargs = []
+        if use_vip:
+            img_t, img_h, img_w, cond_t, cond_h, cond_w = self.vip_grids(num_chunks)
+            for cid in range(num_chunks):
+                vi = get_3d_rotary_pos_embed_v2(
+                    d, img_t[cid * nf:(cid + 1) * nf], img_h, img_w)
+                vq = rc.num_temporal_queries
+                cond_slice = cond_t[cid * vq: cid * vq + n_vip]
+                vc_rope = get_3d_rotary_pos_embed_v2(d, cond_slice, cond_h, cond_w)
+                chunk_vip_kwargs.append({
+                    "vip_hidden_states": image_embeddings[:, cid * vq: cid * vq + n_vip],
+                    "vip_image_rotary_emb": vi,
+                    "vip_condition_rotary_emb": vc_rope,
+                })
+
+        def joint_model(lat_cfg, tvec):
+            preds = []
+            for cid in range(num_chunks):
+                chunk = lat_cfg[:, cid * nf:(cid + 1) * nf]
+                t2d = jnp.broadcast_to(tvec[:, None], (chunk.shape[0], nf))
+                preds.append(model_fn(
+                    {"params": self.dit_params["params"]}, chunk, t2d,
+                    chunk_vip_kwargs[cid] if use_vip else None,
+                ))
+            return jnp.concatenate(preds, axis=1)
+
+        scfg = base_sampler.SamplerConfig(
+            num_inference_steps=cfg.num_inference_steps,
+            guidance_scale=cfg.guidance_scale,
+            guidance_scale_img=cfg.guidance_scale_img,
+            use_dynamic_cfg=cfg.use_dynamic_cfg,
+            use_separate_guidance=cfg.use_separate_guidance,
+            stochastic=cfg.stochastic,
+        )
+
+        if freeinit_iters <= 0:
+            return base_sampler.denoise(joint_model, self.sched, scfg, latents,
+                                        rng=rng).latents
+
+        from tokensgen_tpu.sampling.freeinit import freeinit_refine
+
+        t_max = int(S.inference_timesteps(self.sched.config, cfg.num_inference_steps)[0])
+
+        def denoise_fn(lat, r):
+            return base_sampler.denoise(joint_model, self.sched, scfg, lat, rng=r).latents
+
+        def add_noise_fn(clean, noise):
+            t = jnp.full((clean.shape[0],), t_max)
+            return S.add_noise(self.sched, clean, noise, t)
+
+        return freeinit_refine(denoise_fn, add_noise_fn, latents, rng,
+                               num_iters=freeinit_iters)
+
     def decode_latents(self, latents: jnp.ndarray) -> jnp.ndarray:
         """Chunked decode (`:676-684`): [B, F, C, h, w] -> [B, F_px, H, W, 3]."""
         nf = self.cfg.nf_latent

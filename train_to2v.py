@@ -176,7 +176,38 @@ def main():
     host_rng = np.random.default_rng(cfg.get("seed", 42))
     max_steps = args.max_steps or cfg.get("max_train_steps", 100)
     ckpt_every = cfg.get("checkpointing_steps", 500)
+    val_every = cfg.get("validation_steps", 0)
     ckpt_root = os.path.join(cfg.get("output_dir", "./outputs"), "checkpoints")
+
+    def run_validation(step, params, batch):
+        """log_validation equivalent (`train_cogvideo_to2v.py:820-887,2057-2110`):
+        sample with the current adapters via the To2V pipeline, write MP4s, and
+        log wired quality metrics (vs the source video)."""
+        from tokensgen_tpu.data.video_io import write_video
+        from tokensgen_tpu.metrics.quality import evaluate_video
+        from tokensgen_tpu.pipelines.to2v import To2VConfig, To2VPipeline
+
+        pcfg = To2VConfig(
+            height=height, width=width, num_frames_per_chunk=nf_px,
+            num_inference_steps=min(cfg.get("num_inference_steps", 52),
+                                    4 if args.smoke else 52),
+            num_partitions=2 if args.smoke else 4, stochastic=False,
+        )
+        host_params = jax.device_get(params)
+        pipe = To2VPipeline(pcfg, dcfg, {"params": host_params["dit"]}, rcfg,
+                            {"params": host_params["resampler"]}, vae, sched)
+        frames = jnp.asarray(batch["pixel_values"][:1])
+        text = text_embeds_for(batch["prompt"][:1])
+        out = pipe.generate(text, jnp.zeros_like(text), frames=frames,
+                            num_chunks=frames.shape[1] // nf_px,
+                            rng=jax.random.PRNGKey(step))
+        vid = np.asarray(out["video"][0])
+        write_video(os.path.join(run_dir, f"val_step{step}.mp4"), vid, fps=10)
+        src = (np.asarray(frames[0, : vid.shape[0]]) + 1) / 2
+        m = evaluate_video((vid + 1) / 2, src)
+        for k, v in m.items():
+            tb.scalar(f"val/{k}", v, step)
+        print(f"validation step {step}: {m}", flush=True)
 
     t_start = time.time()
     for step in range(step0, max_steps):
@@ -206,6 +237,8 @@ def main():
         if step % 10 == 0:
             print(f"step {step}: loss {loss:.4f} "
                   f"({(time.time()-t_start)/(step-step0+1):.2f}s/step)", flush=True)
+        if val_every and (step + 1) % val_every == 0:
+            run_validation(step + 1, params, batch)
         if (step + 1) % ckpt_every == 0 or step + 1 == max_steps:
             CK.save_checkpoint(
                 ckpt_root, step + 1,
