@@ -68,7 +68,7 @@ def test_pallas_kernel_interpret_mode():
     block_q, block_kv = 128, 256
     grid = (b, h, sq // block_q, skv // block_kv)
     out = pl.pallas_call(
-        functools.partial(A._flash_kernel, scale=scale),
+        functools.partial(A._flash_kernel, scale=scale, has_bias=True),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0)),

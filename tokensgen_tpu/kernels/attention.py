@@ -37,11 +37,17 @@ _NEG_INF = -1e9
 _LANES = 128
 
 
+_LOG2E = 1.4426950408889634
+
+
 def _flash_kernel(
-    q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float
+    q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr, *,
+    scale: float, has_bias: bool
 ):
     # q_ref: [1, 1, Bq, D]; k_ref/v_ref: [1, 1, Bk, D]; bias_ref: [1, 1, Bk]
     # scratch: m/l [Bq, LANES] f32, acc [Bq, D] f32 — persist across kv steps.
+    # softmax runs in the exp2 domain (scores pre-scaled by log2 e): exp2 is
+    # cheaper on the VPU and the math is identical.
     j = pl.program_id(3)
     num_kv = pl.num_programs(3)
 
@@ -56,15 +62,16 @@ def _flash_kernel(
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [Bq, Bk]
-    s = s + bias_ref[0, 0][None, :]
+    ) * (scale * _LOG2E)  # [Bq, Bk], log2-domain
+    if has_bias:
+        s = s + bias_ref[0, 0][None, :] * _LOG2E
 
     m_prev = m_scr[:, :1]  # [Bq, 1]
     l_prev = l_scr[:, :1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
     l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
     # p in bf16 for the MXU (f32xf32 runs at half rate); accumulation stays f32
     acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
@@ -83,7 +90,7 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv"))
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv", "has_bias"))
 def _flash_attention_tpu(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -92,11 +99,13 @@ def _flash_attention_tpu(
     scale: float,
     block_q: int,
     block_kv: int,
+    has_bias: bool = True,
 ) -> jnp.ndarray:
     b, h, sq, d = q.shape
     skv = k.shape[2]
     sq_p = _round_up(sq, block_q)
     skv_p = _round_up(skv, block_kv)
+    has_bias = has_bias or skv_p != skv  # padding mask rides the bias path
 
     q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
     k = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
@@ -106,7 +115,7 @@ def _flash_attention_tpu(
 
     grid = (b, h, sq_p // block_q, skv_p // block_kv)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale),
+        functools.partial(_flash_kernel, scale=scale, has_bias=has_bias),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
@@ -152,15 +161,17 @@ def flash_attention(
     T2To padded-chunk mask. ``scale`` defaults to 1/sqrt(D) (SDPA default).
     """
     b, h, sq, d = q.shape
-    if scale is None:
-        scale = d**-0.5
+    has_bias = key_bias is not None
     if key_bias is None:
         key_bias = jnp.zeros((b, k.shape[2]), dtype=jnp.float32)
     else:
         key_bias = key_bias.astype(jnp.float32)
+    if scale is None:
+        scale = d**-0.5
 
     if jax.default_backend() == "tpu":
         block_q = min(block_q, _round_up(sq, 128))
         block_kv = min(block_kv, _round_up(k.shape[2], 128))
-        return _flash_attention_tpu(q, k, v, key_bias, scale, block_q, block_kv)
+        return _flash_attention_tpu(q, k, v, key_bias, scale, block_q, block_kv,
+                                    has_bias=has_bias)
     return _xla_attention(q, k, v, key_bias, scale)

@@ -53,12 +53,18 @@ class VIPConfig:
       "2": video-only queries for the cross-attn (text untouched by vip), vip
           stream attends [video‖vip];
       "3": one-way — video→vip cross-attn only, vip stream passes through blocks
-          unchanged.
+          unchanged;
+      "4": adds an autoregressive context branch — the first ``ar_length`` video
+          tokens are a separate "ar" stream with its own AdaLN, a second
+          cross-attn (scale_ar) from [text‖video] into the ar tokens, and a joint
+          [ar‖vip] -> [text‖video‖ar‖vip] attention (`:2418-2662`).
     """
 
     length: int = 480  # vip tokens per forward = 5 query-frames x 8 x 12
     scale: float = 1.0
+    scale_ar: float = 1.0
     func_type: str = "1"
+    ar_length: int = 0  # "4" only: leading video tokens forming the ar stream
     output_dim: int = 3072  # resampler output dim feeding vip_proj
     num_temporal_queries: int = 4
     num_height_queries: int = 8
@@ -185,6 +191,7 @@ class JointVIPAttention(nn.Module):
         vip_condition_rotary_emb: Optional[Rope],
         key_bias: Optional[jnp.ndarray] = None,
         vip_scale: Optional[jnp.ndarray] = None,
+        ar: Optional[jnp.ndarray] = None,  # [B, La, D] ("4" only, normed)
     ):
         cfg = self.config
         inner, heads, dt = cfg.inner_dim, cfg.num_attention_heads, cfg.dtype
@@ -210,8 +217,54 @@ class JointVIPAttention(nn.Module):
         out = flash_attention(q, k, v, key_bias=key_bias)  # [B, H, T+Sv, d]
 
         vip_attn_out = None
+        ar_attn_out = None
         ft = cfg.vip.func_type if cfg.vip is not None else None
-        if cfg.vip is not None:
+        if ft == "4":
+            assert vip is not None and ar is not None
+            la = ar.shape[1]
+            tv_len = text_video.shape[1]
+            allseq = jnp.concatenate([text_video, vip, ar], axis=1)
+            vq = _split_heads(dense("vip_to_q")(allseq), heads)
+            vk = _split_heads(dense("vip_to_k")(allseq), heads)
+            vv = _split_heads(dense("vip_to_v")(allseq), heads)
+            if cfg.qk_norm:
+                vq = QKNorm(name="vip_norm_q")(vq)
+                vk = QKNorm(name="vip_norm_k")(vk)
+            lv = vip.shape[1]
+            q_tv, q_vip, q_ar = (vq[:, :, :tv_len], vq[:, :, tv_len:tv_len + lv],
+                                 vq[:, :, tv_len + lv:])
+            k_tv, k_vip, k_ar = (vk[:, :, :tv_len], vk[:, :, tv_len:tv_len + lv],
+                                 vk[:, :, tv_len + lv:])
+            v_tv, v_vip, v_ar = (vv[:, :, :tv_len], vv[:, :, tv_len:tv_len + lv],
+                                 vv[:, :, tv_len + lv:])
+            if vip_image_rotary_emb is not None:
+                # ar tokens take the leading temporal positions of the vip-image
+                # rope table (`:2525-2542`)
+                comb_q = jnp.concatenate([q_ar, q_tv[:, :, text_len:]], axis=2)
+                comb_q = apply_rotary_emb(comb_q, vip_image_rotary_emb)
+                q_ar = comb_q[:, :, :la]
+                q_tv = jnp.concatenate([q_tv[:, :, :text_len], comb_q[:, :, la:]], axis=2)
+                comb_k = jnp.concatenate([k_ar, k_tv[:, :, text_len:]], axis=2)
+                comb_k = apply_rotary_emb(comb_k, vip_image_rotary_emb)
+                k_ar = comb_k[:, :, :la]
+                k_tv = jnp.concatenate([k_tv[:, :, :text_len], comb_k[:, :, la:]], axis=2)
+            if vip_condition_rotary_emb is not None:
+                q_vip = apply_rotary_emb(q_vip, vip_condition_rotary_emb)
+                k_vip = apply_rotary_emb(k_vip, vip_condition_rotary_emb)
+
+            cross_vip = flash_attention(q_tv, k_vip, v_vip)
+            cross_ar = flash_attention(q_tv, k_ar, v_ar)
+            scale = cfg.vip.scale if vip_scale is None else vip_scale
+            scale = jnp.asarray(scale, dtype=out.dtype)
+            scale = scale.reshape(scale.shape + (1,) * (out.ndim - scale.ndim))
+            out = out + scale * cross_vip + cfg.vip.scale_ar * cross_ar
+            arvip = flash_attention(
+                jnp.concatenate([q_ar, q_vip], axis=2),
+                jnp.concatenate([k_tv, k_ar, k_vip], axis=2),
+                jnp.concatenate([v_tv, v_ar, v_vip], axis=2),
+            )
+            ar_attn_out, vip_attn_out = arvip[:, :, :la], arvip[:, :, la:]
+        elif cfg.vip is not None:
             assert vip is not None
             # "1": vip-projected queries/keys over [text‖video]; "2"/"3": video only
             tv_input = text_video if ft == "1" else text_video[:, text_len:]
@@ -257,7 +310,13 @@ class JointVIPAttention(nn.Module):
                     jnp.concatenate([v_tv, v_vip], axis=2),
                 )
 
-        if vip_attn_out is not None:
+        if ft == "4":
+            # [text ‖ ar ‖ video ‖ vip] through the shared to_out (`:2634-2641`)
+            merged = jnp.concatenate(
+                [out[:, :, :text_len], ar_attn_out, out[:, :, text_len:], vip_attn_out],
+                axis=2,
+            )
+        elif vip_attn_out is not None:
             merged = jnp.concatenate([out, vip_attn_out], axis=2)
         else:
             merged = out
@@ -292,6 +351,12 @@ class DiTBlock(nn.Module):
         text_len = text.shape[1]
 
         ft = cfg.vip.func_type if cfg.vip is not None else None
+        ar = None
+        if ft == "4":
+            # leading ar context tokens form their own stream (`:237-243`)
+            la = cfg.vip.ar_length
+            ar, hidden = hidden[:, :la], hidden[:, la:]
+
         norm_h, norm_t, gate, t_gate = AdaLNZero(cfg.inner_dim, dtype=cfg.dtype, name="norm1")(
             hidden, text, temb
         )
@@ -304,12 +369,20 @@ class DiTBlock(nn.Module):
             norm_vip, vip_gate = vip, 0.0
         else:
             norm_vip = None
+        norm_ar = None
+        if ft == "4":
+            norm_ar, ar_gate = VIPAdaLN(cfg.inner_dim, dtype=cfg.dtype, name="ar_norm1")(
+                ar, temb
+            )
 
         tv = jnp.concatenate([norm_t, norm_h], axis=1)
         video_attn, text_attn, vip_attn = JointVIPAttention(cfg, name="attn1")(
             tv, norm_vip, text_len, image_rope, vip_image_rope, vip_cond_rope,
-            key_bias, vip_scale,
+            key_bias, vip_scale, ar=norm_ar,
         )
+        if ft == "4":
+            ar_attn, video_attn = video_attn[:, :cfg.vip.ar_length], video_attn[:, cfg.vip.ar_length:]
+            ar = ar + ar_gate * ar_attn
         hidden = hidden + gate * video_attn
         text = text + t_gate * text_attn
         if cfg.vip is not None:
@@ -327,6 +400,12 @@ class DiTBlock(nn.Module):
                 vip, temb
             )
             vip = vip + vip_gate2 * ff(norm_vip2)
+        if ft == "4":
+            norm_ar2, ar_gate2 = VIPAdaLN(cfg.inner_dim, dtype=cfg.dtype, name="ar_norm2")(
+                ar, temb
+            )
+            ar = ar + ar_gate2 * ff(norm_ar2)
+            hidden = jnp.concatenate([ar, hidden], axis=1)
 
         return (hidden, text, vip, temb, ropes, key_bias, vip_scale), None
 
@@ -442,11 +521,17 @@ class CogVideoXTransformer(nn.Module):
             joint = LayerNorm(name="norm_final")(joint)
             hidden = joint[:, -video.shape[1]:]
 
+        f_out = f
+        if cfg.vip is not None and cfg.vip.func_type == "4":
+            # drop the ar context tokens from the prediction (`:740-741,755-756`)
+            hidden = hidden[:, cfg.vip.ar_length:]
+            f_out = f - cfg.vip.ar_length // ((h // p) * (w // p))
+
         if cfg.use_output_projection:
             hidden = AdaLayerNormOut(cfg.inner_dim, dtype=dt, name="norm_out")(hidden, temb)
             hidden = nn.Dense(p * p * cfg.out_channels, dtype=dt, name="proj_out")(hidden)
-            out = hidden.reshape(b, f, h // p, w // p, cfg.out_channels, p, p)
-            out = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(b, f, cfg.out_channels, h, w)
+            out = hidden.reshape(b, f_out, h // p, w // p, cfg.out_channels, p, p)
+            out = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(b, f_out, cfg.out_channels, h, w)
         else:
             hidden = AdaLayerNormOut(
                 cfg.inner_dim, dtype=dt, elementwise_affine=False, name="norm_out"

@@ -194,6 +194,41 @@ class To2VPipeline:
             return jnp.concatenate([cond, uncond, cond], axis=0)
         return jnp.concatenate([cond, cond], axis=0)
 
+    def encode_image_features(
+        self,
+        frame_features: jnp.ndarray,  # [B, F_px, N, E] per-frame features
+        do_cfg: bool = True,
+        uncond_features: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Image-encoder conditioning path (`use_vae_as_encoder: false`):
+        per-frame features from an external vision encoder (the reference uses
+        DINOv2 penultimate hidden states, 256 tokens/frame,
+        `pipeline_cogvideox_mp_fifo.py:488-560`) resampled per pixel-frame chunk.
+        The encoder itself is pluggable — pass its features in; CFG uncond
+        defaults to zero features."""
+        nf_px = self.cfg.num_frames_per_chunk
+        img_rope, smp_rope = self.resampler_ropes()
+
+        def resample(feats):
+            toks = []
+            for cid in range(feats.shape[1] // nf_px):
+                toks.append(self.resampler.apply(
+                    self.resampler_params,
+                    feats[:, cid * nf_px:(cid + 1) * nf_px],
+                    img_rope, smp_rope, pca=self.pca,
+                ))
+            return jnp.concatenate(toks, axis=1)
+
+        cond = resample(frame_features)
+        if not do_cfg:
+            return cond
+        if uncond_features is None:
+            uncond_features = jnp.zeros_like(frame_features)
+        uncond = resample(uncond_features)
+        if self.cfg.use_separate_guidance:
+            return jnp.concatenate([cond, uncond, cond], axis=0)
+        return jnp.concatenate([uncond, cond], axis=0)
+
     # --------------------------------------------------------------- model fn
 
     def _model_fn(self, text_embeds_cfg: jnp.ndarray, image_rotary_emb):

@@ -116,9 +116,17 @@ def main():
                 "valid_frames": valid,
             }
 
+    from tokensgen_tpu.models.text_encoder import make_text_encoder
+
+    text_encoder = make_text_encoder(
+        cfg.get("pretrained_text_encoder_path"),
+        dcfg.max_text_seq_length, dcfg.text_embed_dim,
+    )
+
     if args.smoke or not cfg.get_path("train_data_params.csv_file"):
         batches = synthetic_batches()
-    else:
+    elif cfg.get_path("train_data_params.token_dir"):
+        # precomputed condensed tokens (`VIPMiraDataset`, `:1964-1976`)
         from tokensgen_tpu.data import VIPMiraDataset, batch_iterator
 
         ds = VIPMiraDataset(
@@ -135,9 +143,53 @@ def main():
                     lat = t2to.pca_normalization(toks, pca, mean, std)
                     yield {
                         "latents": lat,
-                        "text_embeds": np.zeros(
-                            (toks.shape[0], dcfg.max_text_seq_length, dcfg.text_embed_dim),
-                            np.float32),  # plug T5 via convert/
+                        "text_embeds": np.asarray(text_encoder(raw["prompt"])),
+                        "valid_frames": raw["valid_num_chunks"] * tokens_per_chunk,
+                    }
+                epoch += 1
+
+        batches = real_batches()
+    else:
+        # precomputed VAE latents -> frozen patch-proj + resampler
+        # (`VAEMiraDataset` path, `train_cogvideo_t2to.py:1978-1992`)
+        from tokensgen_tpu.data import VAEMiraDataset, batch_iterator
+        from tokensgen_tpu.models.resampler import Resampler, ResamplerConfig
+        from tokensgen_tpu.models.dit import DiTConfig as _DC
+        from tokensgen_tpu.train.t2to import vip_encode_video_latents
+
+        to2v_dcfg = DiTConfig.cogvideox_5b()
+        rcfg = ResamplerConfig()
+        # frozen encoder weights converted from TokensGen-To2V artifacts
+        from tokensgen_tpu.convert.safetensors_io import load_safetensors
+        from tokensgen_tpu.convert.torch_weights import convert_resampler
+
+        rs_sd = load_safetensors(os.path.join(
+            cfg.get("pretrained_resampler_name_or_path"),
+            "resampler", "diffusion_flax_model.safetensors"))
+        rs_params = {"params": convert_resampler(rs_sd, rcfg.depth)}
+        pp_sd = load_safetensors(cfg.get("patch_embed_proj_path"))
+        patch_proj_params = {"conv": {
+            "kernel": pp_sd["proj.weight"].transpose(2, 3, 1, 0),
+            "bias": pp_sd["proj.bias"],
+        }} if "proj.weight" in pp_sd else None
+
+        ds = VAEMiraDataset(
+            cfg.get_path("train_data_params.csv_file"),
+            cfg.get_path("train_data_params.latent_dir"),
+            max_num_chunks=max_chunks,
+        )
+
+        def real_batches():
+            epoch = 0
+            while True:
+                for raw in batch_iterator(ds, b, seed=cfg.get("seed", 42) + epoch):
+                    toks = vip_encode_video_latents(
+                        to2v_dcfg, {"patch_proj": patch_proj_params},
+                        rcfg, rs_params, jnp.asarray(raw["vae_latents"]))
+                    lat = t2to.pca_normalization(toks, pca, mean, std)
+                    yield {
+                        "latents": lat,
+                        "text_embeds": np.asarray(text_encoder(raw["prompt"])),
                         "valid_frames": raw["valid_num_chunks"] * tokens_per_chunk,
                     }
                 epoch += 1

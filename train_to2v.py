@@ -162,15 +162,12 @@ def main():
 
         batches = epoch_iter()
 
-    def text_embeds_for(prompts):
-        # pluggable text encoder: T5 checkpoint via convert/ when configured,
-        # otherwise deterministic hash features (smoke / precompute workflows)
-        out = np.zeros((len(prompts), dcfg.max_text_seq_length, dcfg.text_embed_dim), np.float32)
-        for i, p in enumerate(prompts):
-            h = abs(hash(p)) % (2**31)
-            out[i] = np.random.default_rng(h).normal(
-                size=(dcfg.max_text_seq_length, dcfg.text_embed_dim)) * 0.02
-        return jnp.asarray(out)
+    from tokensgen_tpu.models.text_encoder import make_text_encoder
+
+    text_embeds_for = make_text_encoder(
+        cfg.get("pretrained_text_encoder_path"),
+        dcfg.max_text_seq_length, dcfg.text_embed_dim,
+    )
 
     tb = TBLogger(run_dir)
     host_rng = np.random.default_rng(cfg.get("seed", 42))
