@@ -141,6 +141,57 @@ def main():
                                     cfg.get("name_prefix", "infer"), args.config)
     pipe, dcfg = build_pipeline(cfg, args.smoke)
 
+    # 2nd stage (gen workload): T2To token generator
+    # (`infer_cogvideo_mp_fifo.py:219-234,266-279`)
+    t2to_pipe = None
+    if cfg.get("use_2nd_stage"):
+        from tokensgen_tpu.core import pca as pca_lib
+        from tokensgen_tpu.models.dit import DiTConfig as DC
+        from tokensgen_tpu.models.dit import CogVideoXTransformer
+        from tokensgen_tpu.pipelines.t2to import T2ToConfig, T2ToPipeline
+
+        if args.smoke:
+            t2cfg = T2ToConfig(num_inference_steps=4,
+                               num_frames_per_chunk=pipe.resampler_config.num_temporal_queries,
+                               token_dim=pipe.resampler_config.output_dim,
+                               height=pipe.resampler_config.num_height_queries,
+                               width=pipe.resampler_config.num_width_queries,
+                               stochastic=False)
+            t2dcfg = DC.tiny(patch_size=1,
+                             sample_height=t2cfg.height, sample_width=t2cfg.width,
+                             attention_head_dim=64, num_attention_heads=1)
+        else:
+            t2cfg = T2ToConfig(num_inference_steps=cfg.get("num_inference_steps", 52))
+            t2dcfg = DC.t2to_5b()
+        t2model = CogVideoXTransformer(t2dcfg)
+        t2pipe_tmp = T2ToPipeline(t2cfg, t2dcfg, None)
+        f0 = 2 * t2cfg.num_frames_per_chunk
+        t2params = t2model.init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, f0, t2cfg.latent_channels, t2cfg.height, t2cfg.width)),
+            jnp.zeros((1, t2dcfg.max_text_seq_length, t2dcfg.text_embed_dim)),
+            jnp.zeros((1,), jnp.int32),
+            image_rotary_emb=t2pipe_tmp.rope(f0),
+        )
+        # pca/mean/std artifacts
+        if not args.smoke and cfg.get("longvgen_pca"):
+            from tokensgen_tpu.convert.safetensors_io import load_safetensors
+
+            pca_sd = load_safetensors(cfg.longvgen_pca)
+            pca_state = pca_lib.PCAState(
+                mean=jnp.asarray(pca_sd["mean_"]),
+                components=jnp.asarray(pca_sd["components_"]))
+            mean = jnp.asarray(np.load(cfg.longvgen_mean))
+            std = jnp.asarray(np.load(cfg.longvgen_std))
+        else:
+            rng0 = np.random.default_rng(0)
+            pca_state = pca_lib.fit(
+                jnp.asarray(rng0.normal(size=(128, t2cfg.token_dim)), jnp.float32), None)
+            mean = jnp.zeros((1, t2cfg.token_dim))
+            std = jnp.ones((1, t2cfg.token_dim))
+        t2to_pipe = T2ToPipeline(t2cfg, t2dcfg, t2params, pca=pca_state,
+                                 token_mean=mean, token_std=std)
+
     mesh = None
     nq = args.queue_devices or cfg.get_path("sampling_params.queue_devices", 1)
     if nq > 1:
@@ -158,6 +209,22 @@ def main():
         prompt = item.get("prompt", "")
         num_chunks = item.get("max_num_chunks", 2)
         frames = None
+        image_embeddings = None
+        if t2to_pipe is not None and not item.get("video"):
+            # gen workload: condensed tokens from text, then To2V renders them
+            from tokensgen_tpu.pipelines.t2to import extend_generated_tokens
+
+            toks = t2to_pipe(
+                text_embeds_for(prompt), text_embeds_for(""),
+                num_chunks=num_chunks, rng=jax.random.PRNGKey(cfg.get("seed_2nd", 42)),
+            )
+            np.save(os.path.join(run_dir, f"{name}_tokens.npy"), np.asarray(toks))
+            toks = extend_generated_tokens(toks, num_chunks)
+            if pipe.cfg.use_separate_guidance:
+                uncond = jnp.zeros_like(toks)
+                image_embeddings = jnp.concatenate([toks, uncond, toks], axis=0)
+            else:
+                image_embeddings = jnp.concatenate([toks, toks], axis=0)
         if item.get("video"):
             src = load_video(
                 item["video"],
@@ -172,7 +239,7 @@ def main():
 
         out = pipe.generate(
             text_embeds_for(prompt), text_embeds_for(""),
-            frames=frames, num_chunks=num_chunks,
+            frames=frames, image_embeddings=image_embeddings, num_chunks=num_chunks,
             rng=jax.random.PRNGKey(cfg.get("seed", 42)),
             mesh=mesh,
             cache_idx=tuple(cfg.get("cache_idx") or ()),

@@ -170,8 +170,36 @@ def flash_attention(
         scale = d**-0.5
 
     if jax.default_backend() == "tpu":
+        import os
+
+        if (not has_bias and os.environ.get("TOKENSGEN_LIB_FLASH") == "1"
+                and sq >= 512 and k.shape[2] >= 1024 and d in (64, 128)):
+            # optional dispatch to jax's reference TPU flash kernel (~25% faster
+            # at 18k seq as of jax 0.9; ours remains the default + bias path)
+            try:
+                return _lib_flash(q, k, v, scale)
+            except Exception:
+                pass
         block_q = min(block_q, _round_up(sq, 128))
         block_kv = min(block_kv, _round_up(k.shape[2], 128))
         return _flash_attention_tpu(q, k, v, key_bias, scale, block_q, block_kv,
                                     has_bias=has_bias)
     return _xla_attention(q, k, v, key_bias, scale)
+
+
+def _lib_flash(q, k, v, scale):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, flash_attention as _fa,
+    )
+
+    sq, skv = q.shape[2], k.shape[2]
+    sq_p = _round_up(sq, 512)
+    skv_p = _round_up(skv, 1024)
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    if skv_p != skv:
+        # padded keys must not receive weight: fall back to our kernel instead
+        raise ValueError("kv padding needs the bias path")
+    bs = BlockSizes(block_q=512, block_k_major=1024, block_k=1024, block_b=1)
+    out = _fa(q, k, v, causal=False, sm_scale=scale, block_sizes=bs)
+    return out[:, :, :sq, :]

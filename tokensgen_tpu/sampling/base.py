@@ -37,6 +37,9 @@ class SamplerConfig:
     scheduler: str = "dpm"  # "dpm" | "ddim"
     stochastic: bool = True  # draw DPM noise (reference default); False = deterministic
     collect_fifo: bool = False
+    # parity option: the reference casts latents back to the network dtype after
+    # every scheduler step (`pipeline_cogvideox_mp_fifo.py:1290`); None keeps f32
+    latents_round_trip_dtype: Optional[str] = None
 
 
 class DenoiseResult(NamedTuple):
@@ -120,6 +123,10 @@ def denoise(
                 old_valid=jnp.full((b,), old_valid),
                 noise=noise, noise2=noise2,
             )
+        if scfg.latents_round_trip_dtype is not None:
+            dt = jnp.dtype(scfg.latents_round_trip_dtype)
+            new_latents = new_latents.astype(dt).astype(jnp.float32)
+            x0 = x0.astype(dt).astype(jnp.float32)
         return (new_latents, x0, jnp.asarray(True)), (snap_lat, snap_x0, snap_valid)
 
     keys = jax.random.split(rng, n)

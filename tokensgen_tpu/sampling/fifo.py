@@ -57,6 +57,9 @@ class FIFOConfig:
     do_classifier_free_guidance: bool = True
     stochastic: bool = True
     renoise_timestep: int = 999
+    # "xt": one-beta renoise of the recycled tail (mp_v2, `:124-128`);
+    # "randn": pure fresh noise (single-device engine, `cogvideo_sampling.py:115-128`)
+    tail_renoise_mode: str = "xt"
     vip_rope_dims: Tuple[int, int, int] = (16, 24, 24)
     video_ipadapter_start_frame_idx: int = 1000
 
@@ -340,11 +343,15 @@ def fifo_generate(
 
         # shift + tail renoise (`:117-131`)
         tail = queue[:, -1]
-        tail = S.add_noise_to_xt(
-            sched, tail,
-            jax.random.normal(jax.random.fold_in(key, 999), tail.shape, jnp.float32),
-            jnp.full((tail.shape[0],), fcfg.renoise_timestep),
-        )
+        tail_noise = jax.random.normal(
+            jax.random.fold_in(key, 999), tail.shape, jnp.float32)
+        if fcfg.tail_renoise_mode == "randn":
+            tail = tail_noise
+        else:
+            tail = S.add_noise_to_xt(
+                sched, tail, tail_noise,
+                jnp.full((tail.shape[0],), fcfg.renoise_timestep),
+            )
         queue = jnp.concatenate([queue[:, 1:], tail[:, None]], axis=1)
         x0_buf = jnp.concatenate([x0_buf[:, 1:], jnp.zeros_like(x0_buf[:, -1:])], axis=1)
         x0_valid = jnp.concatenate([x0_valid[1:], jnp.asarray([False])])

@@ -99,9 +99,15 @@ def make_train_step(
         latents = batch["latents"]
         b, f = latents.shape[0], latents.shape[1]
 
+        # stratified sampling: the reference stratifies by DDP rank
+        # (`:1797-1818`); in one SPMD program the equivalent strata are the
+        # batch positions (which map onto the data-parallel devices)
+        proc_idx = batch.get("process_index")
+        if proc_idx is None and cfg.num_processes > 1:
+            proc_idx = jnp.arange(b) % cfg.num_processes
         t_uniform = objective.sample_uniform_timesteps(
             r_t, b, sched.config.num_train_timesteps,
-            batch.get("process_index"), cfg.num_processes,
+            proc_idx, cfg.num_processes,
         )
         t_ramp = objective.sample_fifo_ramp_timesteps(
             r_t, b, f, sched.config.num_train_timesteps, cfg.inference_timesteps

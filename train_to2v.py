@@ -27,9 +27,16 @@ def main():
     ap.add_argument("--smoke", action="store_true",
                     help="tiny model + synthetic data, CPU-friendly")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--multihost", action="store_true",
+                    help="initialize jax.distributed for multi-host TPU pods")
     args = ap.parse_args()
 
     import jax
+
+    if args.multihost:
+        # multi-host entry (SURVEY §7.2 item 8): one process per host, all hosts
+        # run the same SPMD program; DCN coordination via jax.distributed
+        jax.distributed.initialize()
     import jax.numpy as jnp
     import optax
 
