@@ -63,9 +63,10 @@ def test_matches_reference_torch_pca():
     x = rng.normal(size=(120, 10)).astype(np.float64)
     ref_pca = ref.PCA(n_components=5).fit(torch.tensor(x))
     st = P.fit(jnp.asarray(x), 5)
+    # the jnp path computes in float32 (x64 disabled); torch oracle is float64
     np.testing.assert_allclose(
-        np.asarray(st.components), ref_pca.components_.numpy(), rtol=1e-5, atol=1e-7
+        np.asarray(st.components), ref_pca.components_.numpy(), rtol=1e-3, atol=1e-5
     )
     t_ref = ref_pca.transform(torch.tensor(x)).numpy()
     t_jax = np.asarray(P.transform(st, jnp.asarray(x)))
-    np.testing.assert_allclose(t_jax, t_ref, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(t_jax, t_ref, rtol=1e-3, atol=1e-4)

@@ -80,10 +80,13 @@ def test_ddim_step_matches_scalar_oracle():
 def dpm_oracle(ac, mo, x, t, pt, tb=None, old_x0=None, noise=None, noise2=None):
     """Scalar float64 oracle for one sample."""
     ap = ac[t]
-    app = ac[pt] if pt >= 0 else 1.0
+    # np.float64 so app=1 yields inf (like the vectorised jnp path), not a
+    # python ZeroDivisionError
+    app = ac[pt] if pt >= 0 else np.float64(1.0)
     x0 = ap**0.5 * x - (1 - ap) ** 0.5 * mo
-    lamb = np.log((ap / (1 - ap)) ** 0.5)
-    lamb_next = np.log((app / (1 - app)) ** 0.5)
+    with np.errstate(divide="ignore"):
+        lamb = np.log((ap / (1 - ap)) ** 0.5)
+        lamb_next = np.log((app / (1 - app)) ** 0.5)
     h = lamb_next - lamb
     m1 = ((1 - app) / (1 - ap)) ** 0.5 * np.exp(-h)
     m2 = np.expm1(-2 * h) * app**0.5

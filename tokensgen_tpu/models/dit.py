@@ -95,6 +95,10 @@ class DiTConfig:
     vip: Optional[VIPConfig] = None
     dtype: Any = jnp.bfloat16
     remat: bool = False
+    # fused q/k/v projections (one matmul), the `FusedCogVideoXAttnProcessor2_0`
+    # analog (`attention_processor.py:2663-2733`); convert params with
+    # `fuse_qkv_params` / `unfuse_qkv_params`
+    fuse_qkv: bool = False
 
     @property
     def inner_dim(self) -> int:
@@ -206,9 +210,16 @@ class JointVIPAttention(nn.Module):
                 [x[:, :, :text_len], apply_rotary_emb(x[:, :, text_len:], rope)], axis=2
             )
 
-        q = _split_heads(dense("to_q")(text_video), heads)
-        k = _split_heads(dense("to_k")(text_video), heads)
-        v = _split_heads(dense("to_v")(text_video), heads)
+        if cfg.fuse_qkv:
+            qkv = nn.Dense(3 * inner, use_bias=cfg.attention_bias, dtype=dt,
+                           name="to_qkv")(text_video)
+            qf, kf, vf = jnp.split(qkv, 3, axis=-1)
+            q, k, v = (_split_heads(qf, heads), _split_heads(kf, heads),
+                       _split_heads(vf, heads))
+        else:
+            q = _split_heads(dense("to_q")(text_video), heads)
+            k = _split_heads(dense("to_k")(text_video), heads)
+            v = _split_heads(dense("to_v")(text_video), heads)
         if cfg.qk_norm:
             norm_q, norm_k = QKNorm(name="norm_q"), QKNorm(name="norm_k")
             q, k = norm_q(q), norm_k(k)
@@ -538,6 +549,50 @@ class CogVideoXTransformer(nn.Module):
             )(hidden, temb)
             out = hidden.reshape(b, f, h, w, -1).transpose(0, 1, 4, 2, 3)
         return out
+
+
+def fuse_qkv_params(params):
+    """to_q/to_k/to_v -> to_qkv (concat along the output dim), for a model built
+    with ``fuse_qkv=True`` (`fuse_qkv_projections`,
+    `cogvideox_transformer_3d.py:552-575`). Works on scan-stacked blocks."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    out = {}
+    done = set()
+    for key, val in flat.items():
+        if len(key) >= 2 and key[-2] in ("to_q", "to_k", "to_v"):
+            base = key[:-2]
+            if base in done:
+                continue
+            done.add(base)
+            for leaf in ("kernel", "bias"):
+                parts = [flat.get(base + (n, leaf)) for n in ("to_q", "to_k", "to_v")]
+                if parts[0] is None:
+                    continue
+                out[base + ("to_qkv", leaf)] = jnp.concatenate(parts, axis=-1)
+        else:
+            out[key] = val
+    return flax.traverse_util.unflatten_dict(out)
+
+
+def unfuse_qkv_params(params):
+    """Inverse of :func:`fuse_qkv_params`."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    out = {}
+    for key, val in flat.items():
+        if len(key) >= 2 and key[-2] == "to_qkv":
+            base = key[:-2]
+            leaf = key[-1]
+            q, k, v = jnp.split(val, 3, axis=-1)
+            out[base + ("to_q", leaf)] = q
+            out[base + ("to_k", leaf)] = k
+            out[base + ("to_v", leaf)] = v
+        else:
+            out[key] = val
+    return flax.traverse_util.unflatten_dict(out)
 
 
 def graft_vip_params(params, config: DiTConfig):
