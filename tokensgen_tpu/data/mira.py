@@ -170,10 +170,22 @@ class VAEMiraDataset:
                 return os.path.join(shard, name)
         raise FileNotFoundError(f"no latents for video {index} in {shard}")
 
+    def load_many(self, idxs: Sequence[int]) -> List[Dict]:
+        """Batch fast path: shard files read by the native C++ thread pool
+        (`data/native_store.py`; ~9x faster warm than sequential np.load)."""
+        from tokensgen_tpu.data.native_store import load_npy_batch
+
+        paths = [self._latent_path(int(self.df.iloc[i]["index"])) for i in idxs]
+        arrays = load_npy_batch(paths)
+        return [self._make_item(i, lat) for i, lat in zip(idxs, arrays)]
+
     def __getitem__(self, i: int) -> Dict:
         row = self.df.iloc[i]
         path = self._latent_path(int(row["index"]))
-        lat = np.load(path)  # [13*chunks, 16, h, w]
+        return self._make_item(i, np.load(path))
+
+    def _make_item(self, i: int, lat: np.ndarray) -> Dict:
+        row = self.df.iloc[i]
         chunks = lat.shape[0] // self.nf_per_chunk
         valid = min(chunks, self.max_num_chunks)
         lat = lat[: valid * self.nf_per_chunk]
@@ -286,6 +298,17 @@ def batch_iterator(
 
     def gen():
         batch = []
+        use_batch_load = hasattr(dataset, "load_many")
+        if use_batch_load:
+            for lo in range(0, len(order), batch_size):
+                idxs = order[lo:lo + batch_size]
+                if len(idxs) < batch_size and drop_last:
+                    break
+                try:
+                    yield collate(dataset.load_many(idxs))
+                except (IOError, ValueError, FileNotFoundError):
+                    continue
+            return
         for i in order:
             try:
                 batch.append(dataset[i])

@@ -28,10 +28,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 class MeshSpec:
     data: int = 1
     queue: int = 1
+    model: int = 1  # tensor parallelism: attention heads / FFN sharding
 
     @property
     def num_devices(self) -> int:
-        return self.data * self.queue
+        return self.data * self.queue * self.model
 
 
 def make_mesh(spec: Optional[MeshSpec] = None, devices: Optional[Sequence] = None) -> Mesh:
@@ -40,8 +41,10 @@ def make_mesh(spec: Optional[MeshSpec] = None, devices: Optional[Sequence] = Non
         spec = MeshSpec(data=len(devices))
     if spec.num_devices > len(devices):
         raise ValueError(f"mesh {spec} needs {spec.num_devices} devices, have {len(devices)}")
-    devs = np.asarray(devices[: spec.num_devices]).reshape(spec.data, spec.queue)
-    return Mesh(devs, axis_names=("data", "queue"))
+    devs = np.asarray(devices[: spec.num_devices]).reshape(
+        spec.data, spec.queue, spec.model
+    )
+    return Mesh(devs, axis_names=("data", "queue", "model"))
 
 
 def shard_batch(mesh: Mesh, tree, axis: str = "data"):
