@@ -1,0 +1,156 @@
+"""Blockwise 8-bit AdamW — optimizer-state memory parity with bitsandbytes.
+
+The reference trains To2V with bitsandbytes' 8-bit Adam by default
+(`/root/reference/train_cogvideo_to2v.py:1056-1136`, `use_8bit_adam: true` in the
+train configs). This is a TPU-native equivalent as an optax
+`GradientTransformation`: the two Adam moments are stored as int8 with one f32
+scale per 256-value block (dynamic blockwise quantisation, the bnb scheme's
+structure), dequantised/updated/requantised inside the jitted step. State memory:
+~2.06 bytes/param vs 8 for f32 Adam.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+BLOCK = 256
+
+
+class _Q(NamedTuple):
+    q: jnp.ndarray  # int8 payload, padded flat [n_blocks * BLOCK]
+    scale: jnp.ndarray  # f32 [n_blocks]
+
+
+def _quantize(x: jnp.ndarray) -> _Q:
+    flat = x.reshape(-1)
+    pad = (-flat.size) % BLOCK
+    flat = jnp.pad(flat, (0, pad))
+    blocks = flat.reshape(-1, BLOCK)
+    scale = jnp.max(jnp.abs(blocks), axis=1) / 127.0
+    safe = jnp.where(scale > 0, scale, 1.0)
+    q = jnp.clip(jnp.round(blocks / safe[:, None]), -127, 127).astype(jnp.int8)
+    return _Q(q.reshape(-1), scale)
+
+
+def _dequantize(qv: _Q, shape) -> jnp.ndarray:
+    blocks = qv.q.reshape(-1, BLOCK).astype(jnp.float32)
+    safe = jnp.where(qv.scale > 0, qv.scale, 1.0)
+    flat = (blocks * safe[:, None]).reshape(-1)
+    n = 1
+    for s in shape:
+        n *= s
+    return flat[:n].reshape(shape)
+
+
+class _QLog(NamedTuple):
+    """Log-domain affine u8 — for the second moment, whose within-block dynamic
+    range far exceeds what linear int8 covers (bnb solves this with a nonlinear
+    dynamic map; log-affine has the same reach)."""
+
+    q: jnp.ndarray  # uint8 payload
+    lo: jnp.ndarray  # f32 [n_blocks] log-min
+    hi: jnp.ndarray  # f32 [n_blocks] log-max
+
+_LOG_TINY = 1e-30
+
+
+def _quantize_log(x: jnp.ndarray) -> _QLog:
+    flat = x.reshape(-1)
+    pad = (-flat.size) % BLOCK
+    flat = jnp.pad(flat, (0, pad))
+    blocks = jnp.log(flat.reshape(-1, BLOCK) + _LOG_TINY)
+    lo = jnp.min(blocks, axis=1)
+    hi = jnp.max(blocks, axis=1)
+    span = jnp.where(hi > lo, hi - lo, 1.0)
+    q = jnp.clip(jnp.round((blocks - lo[:, None]) / span[:, None] * 255.0), 0, 255)
+    return _QLog(q.astype(jnp.uint8).reshape(-1), lo, hi)
+
+
+def _dequantize_log(qv: _QLog, shape) -> jnp.ndarray:
+    blocks = qv.q.reshape(-1, BLOCK).astype(jnp.float32)
+    span = jnp.where(qv.hi > qv.lo, qv.hi - qv.lo, 1.0)
+    vals = jnp.exp(blocks / 255.0 * span[:, None] + qv.lo[:, None]) - _LOG_TINY
+    flat = jnp.maximum(vals, 0.0).reshape(-1)
+    n = 1
+    for s in shape:
+        n *= s
+    return flat[:n].reshape(shape)
+
+
+class Adam8bitState(NamedTuple):
+    count: jnp.ndarray
+    mu: dict
+    nu: dict
+
+
+def adamw_8bit(
+    learning_rate: float,
+    b1: float = 0.9,
+    b2: float = 0.95,
+    eps: float = 1e-8,
+    weight_decay: float = 1e-4,
+    min_quant_size: int = 4096,
+) -> optax.GradientTransformation:
+    """AdamW with int8 moment state. Tensors smaller than ``min_quant_size``
+    keep f32 moments (bnb does the same; tiny tensors gain nothing)."""
+
+    def should_quant(x) -> bool:
+        return x.size >= min_quant_size
+
+    def init(params):
+        def init_mu(x):
+            if should_quant(x):
+                return _quantize(jnp.zeros_like(x, jnp.float32))
+            return jnp.zeros_like(x, jnp.float32)
+
+        def init_nu(x):
+            if should_quant(x):
+                return _quantize_log(jnp.zeros_like(x, jnp.float32))
+            return jnp.zeros_like(x, jnp.float32)
+
+        mu = jax.tree_util.tree_map(init_mu, params)
+        nu = jax.tree_util.tree_map(init_nu, params)
+        return Adam8bitState(jnp.zeros([], jnp.int32), mu, nu)
+
+    def update(grads, state, params):
+        count = state.count + 1
+        c = count.astype(jnp.float32)
+
+        def upd(g, mu_q, nu_q, p):
+            g = g.astype(jnp.float32)
+            mu = _dequantize(mu_q, g.shape) if isinstance(mu_q, _Q) else mu_q
+            nu = _dequantize_log(nu_q, g.shape) if isinstance(nu_q, _QLog) else nu_q
+            mu = b1 * mu + (1 - b1) * g
+            nu = b2 * nu + (1 - b2) * g * g
+            mu_hat = mu / (1 - b1**c)
+            nu_hat = nu / (1 - b2**c)
+            step = mu_hat / (jnp.sqrt(nu_hat) + eps)
+            if weight_decay:
+                step = step + weight_decay * p.astype(jnp.float32)
+            new_mu = _quantize(mu) if isinstance(mu_q, _Q) else mu
+            new_nu = _quantize_log(nu) if isinstance(nu_q, _QLog) else nu
+            return (-learning_rate * step).astype(p.dtype), new_mu, new_nu
+
+        flat_g, treedef = jax.tree_util.tree_flatten(grads)
+        flat_mu = treedef.flatten_up_to(state.mu)
+        flat_nu = treedef.flatten_up_to(state.nu)
+        flat_p = treedef.flatten_up_to(params)
+        outs = [upd(g, m, n, p) for g, m, n, p in zip(flat_g, flat_mu, flat_nu, flat_p)]
+        updates = treedef.unflatten([o[0] for o in outs])
+        mu = treedef.unflatten([o[1] for o in outs])
+        nu = treedef.unflatten([o[2] for o in outs])
+        return updates, Adam8bitState(count, mu, nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+def state_nbytes(state) -> int:
+    """Optimizer-state footprint (for the memory-parity check)."""
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(state):
+        total += leaf.size * leaf.dtype.itemsize
+    return total

@@ -32,6 +32,7 @@ from tokensgen_tpu.train import objective
 
 @dataclasses.dataclass(frozen=True)
 class To2VTrainConfig:
+    use_8bit_adam: bool = True  # reference default (`use_8bit_adam: true`)
     learning_rate: float = 2e-4
     weight_decay: float = 1e-4
     adam_beta1: float = 0.9
@@ -58,16 +59,15 @@ def trainable_labels(params: Dict) -> Dict:
 
 
 def make_optimizer(params: Dict, cfg: To2VTrainConfig) -> optax.GradientTransformation:
-    adamw = optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(
-            cfg.learning_rate,
-            b1=cfg.adam_beta1,
-            b2=cfg.adam_beta2,
-            eps=cfg.adam_eps,
-            weight_decay=cfg.weight_decay,
-        ),
-    )
+    if cfg.use_8bit_adam:
+        from tokensgen_tpu.train.adam8bit import adamw_8bit
+
+        inner = adamw_8bit(cfg.learning_rate, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+                           eps=cfg.adam_eps, weight_decay=cfg.weight_decay)
+    else:
+        inner = optax.adamw(cfg.learning_rate, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+                            eps=cfg.adam_eps, weight_decay=cfg.weight_decay)
+    adamw = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), inner)
     return optax.multi_transform(
         {"train": adamw, "freeze": optax.set_to_zero()}, trainable_labels(params)
     )

@@ -88,6 +88,7 @@ def main():
     tcfg = to2v.To2VTrainConfig(
         learning_rate=cfg.get("learning_rate", 2e-4),
         diff_timesteps_ratio=cfg.get("diff_timesteps_ratio", 0.4),
+        use_8bit_adam=cfg.get("use_8bit_adam", True),
         num_processes=jax.device_count(),
     )
     accum = cfg.get("gradient_accumulation_steps", 1)
