@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--multihost", action="store_true",
                     help="initialize jax.distributed for multi-host TPU pods")
+    ap.add_argument("--profile-steps", type=int, default=0,
+                    help="capture a jax.profiler trace for the first N steps")
     args = ap.parse_args()
 
     import jax
@@ -214,8 +216,16 @@ def main():
             tb.scalar(f"val/{k}", v, step)
         print(f"validation step {step}: {m}", flush=True)
 
+    from tokensgen_tpu.utils.logging import StepTimer, profile_trace
+
+    timer = StepTimer()
     t_start = time.time()
+    profiling = args.profile_steps > 0
+    if profiling:
+        import jax as _jax
+        _jax.profiler.start_trace(os.path.join(run_dir, "profile"))
     for step in range(step0, max_steps):
+        t_step = time.time()
         batch = next(batches)
         rng, r_stage, r_step = jax.random.split(rng, 3)
         staged = staging.stage_to2v_batch(
@@ -239,6 +249,18 @@ def main():
         params, opt_state, metrics = train_step(params, opt_state, train_batch, r_step)
         loss = float(metrics["loss"])
         tb.scalar("train_loss", loss, step)
+        dt = time.time() - t_step
+        ema = timer.update(dt)
+        # stall watchdog (SURVEY §5.3: the reference has none; a hung collective
+        # or pathological recompile surfaces here instead of silently wedging)
+        if step > step0 + 2 and dt > 5 * ema:
+            print(f"WARNING: step {step} took {dt:.1f}s (EMA {ema:.1f}s) — "
+                  "possible recompile or input stall", flush=True)
+        if profiling and step - step0 + 1 >= args.profile_steps:
+            import jax as _jax
+            _jax.profiler.stop_trace()
+            profiling = False
+            print(f"profile trace written to {run_dir}/profile", flush=True)
         if step % 10 == 0:
             print(f"step {step}: loss {loss:.4f} "
                   f"({(time.time()-t_start)/(step-step0+1):.2f}s/step)", flush=True)
