@@ -92,6 +92,11 @@ class To2VPipeline:
         sched: Optional[S.DiffusionSchedule] = None,
         pca=None,
     ):
+        if cfg.num_frames_per_chunk > 49:
+            raise ValueError(
+                "num_frames_per_chunk must be <= 49 (static positional embeddings; "
+                "`pipeline_cogvideox.py:933-936`)"
+            )
         self.cfg = cfg
         self.dit_config = dit_config
         self.dit_params = dit_params
