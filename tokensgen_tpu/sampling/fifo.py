@@ -60,6 +60,9 @@ class FIFOConfig:
     # "xt": one-beta renoise of the recycled tail (mp_v2, `:124-128`);
     # "randn": pure fresh noise (single-device engine, `cogvideo_sampling.py:115-128`)
     tail_renoise_mode: str = "xt"
+    # dtype of the stacked emitted-frame buffer ([B, iters, C, H, W]); bf16 halves
+    # HBM for very long videos (351 iters at 24 chunks ≈ 2.4 GB in f32)
+    emit_dtype: str = "float32"
     vip_rope_dims: Tuple[int, int, int] = (16, 24, 24)
     video_ipadapter_start_frame_idx: int = 1000
 
@@ -331,7 +334,9 @@ def fifo_generate(
         x0_buf = jnp.where(mb, sum_x, x0_buf)
         x0_valid = x0_valid | mask
 
-        emitted = queue[:, r_nf if fcfg.lookahead_denoising else 0]
+        emitted = queue[:, r_nf if fcfg.lookahead_denoising else 0].astype(
+            jnp.dtype(fcfg.emit_dtype)
+        )
 
         caches = None
         if cache_idx_arr is not None:
