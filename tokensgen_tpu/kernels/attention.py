@@ -78,8 +78,8 @@ def _flash_kernel(
         p.astype(v_ref.dtype), v_ref[0, 0],
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    m_scr[:, :1] = m_new  # only lane 0 is ever read back
+    l_scr[:, :1] = l_new
 
     @pl.when(j == num_kv - 1)
     def _finalize():
