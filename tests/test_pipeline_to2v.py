@@ -102,3 +102,51 @@ def test_generate_sharded_queue(pipe):
     np.testing.assert_allclose(
         np.asarray(out1["latents"]), np.asarray(out2["latents"]), rtol=2e-3, atol=2e-4
     )
+
+
+def test_generate_separate_guidance():
+    """3-way CFG (uncond_txt / uncond_img / txt+img) through base + FIFO."""
+    from tokensgen_tpu.core import schedule as S
+    from tokensgen_tpu.models.dit import CogVideoXTransformer, DiTConfig, VIPConfig, graft_vip_params
+    from tokensgen_tpu.models.resampler import Resampler, ResamplerConfig
+    from tokensgen_tpu.models.vae3d import AutoencoderKLCogVideoX, VAEConfig, VAERunner
+    from tokensgen_tpu.pipelines.to2v import To2VConfig, To2VPipeline
+    from tokensgen_tpu.core.rope import get_3d_rotary_pos_embed_v2
+
+    cfg = To2VConfig(height=32, width=48, num_frames_per_chunk=9,
+                     num_inference_steps=6, num_partitions=2, stochastic=False,
+                     use_separate_guidance=True, guidance_scale_img=1.5)
+    vc = VIPConfig(output_dim=24, num_temporal_queries=2, num_height_queries=2,
+                   num_width_queries=3, length=3 * 2 * 3)
+    dcfg = DiTConfig.tiny(vip=vc, sample_height=4, sample_width=6)
+    rcfg = ResamplerConfig.tiny(embedding_dim=dcfg.inner_dim, output_dim=24,
+                                num_temporal_queries=2, num_height_queries=2,
+                                num_width_queries=3)
+    vcfg = VAEConfig.tiny(sample_height=32, sample_width=48)
+    r1, r2, r3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    vae_model = AutoencoderKLCogVideoX(vcfg)
+    vae = VAERunner(vcfg, vae_model.init(r1, jnp.zeros((1, 9, 32, 48, 3))))
+    rs_params = Resampler(rcfg).init(r2, jnp.zeros((1, 3, 6, rcfg.embedding_dim)))
+    d = dcfg.attention_head_dim
+    rope = get_3d_rotary_pos_embed_v2(d, np.arange(3), np.arange(2), np.arange(3))
+    dit = CogVideoXTransformer(dcfg)
+    dit_params = dit.init(
+        r3, jnp.zeros((1, 3, 16, 4, 6)),
+        jnp.zeros((1, dcfg.max_text_seq_length, dcfg.text_embed_dim)),
+        jnp.zeros((1,), jnp.int32),
+        vip_hidden_states=jnp.zeros((1, 3, 24, 2, 3)),
+        image_rotary_emb=rope, vip_image_rotary_emb=rope,
+        vip_condition_rotary_emb=get_3d_rotary_pos_embed_v2(d, np.arange(3), np.arange(2), np.arange(3)))
+    dit_params = {"params": graft_vip_params(dit_params["params"], dcfg)}
+    pipe3 = To2VPipeline(cfg, dcfg, dit_params, rcfg, rs_params, vae,
+                         S.make_schedule(S.ScheduleConfig()))
+
+    rng = np.random.default_rng(7)
+    frames = jnp.asarray(rng.uniform(-1, 1, size=(1, 18, 32, 48, 3)), jnp.float32)
+    text = jnp.asarray(rng.normal(size=(1, 8, 24)), jnp.float32)
+    emb = pipe3.vip_encode_video(frames, rng=jax.random.PRNGKey(1))
+    assert emb.shape[0] == 3  # [img, uncond_img, img]
+    out = pipe3.generate(text, jnp.zeros_like(text), image_embeddings=emb,
+                         num_chunks=2, rng=jax.random.PRNGKey(2), decode=False)
+    assert out["latents"].shape == (1, 6, 16, 4, 6)
+    assert np.isfinite(np.asarray(out["latents"])).all()

@@ -18,3 +18,29 @@ kernel, and multi-chip execution uses `shard_map` over a `jax.sharding.Mesh`.
 """
 
 __version__ = "0.1.0"
+
+_PUBLIC = {
+    "To2VPipeline": "tokensgen_tpu.pipelines.to2v",
+    "To2VConfig": "tokensgen_tpu.pipelines.to2v",
+    "T2ToPipeline": "tokensgen_tpu.pipelines.t2to",
+    "T2ToConfig": "tokensgen_tpu.pipelines.t2to",
+    "CogVideoXTransformer": "tokensgen_tpu.models.dit",
+    "DiTConfig": "tokensgen_tpu.models.dit",
+    "VIPConfig": "tokensgen_tpu.models.dit",
+    "Resampler": "tokensgen_tpu.models.resampler",
+    "ResamplerConfig": "tokensgen_tpu.models.resampler",
+    "AutoencoderKLCogVideoX": "tokensgen_tpu.models.vae3d",
+    "VAEConfig": "tokensgen_tpu.models.vae3d",
+    "VAERunner": "tokensgen_tpu.models.vae3d",
+    "VideoService": "tokensgen_tpu.serving",
+    "make_mesh": "tokensgen_tpu.sharding.mesh",
+    "MeshSpec": "tokensgen_tpu.sharding.mesh",
+}
+
+
+def __getattr__(name):  # lazy public API (keeps import light)
+    if name in _PUBLIC:
+        import importlib
+
+        return getattr(importlib.import_module(_PUBLIC[name]), name)
+    raise AttributeError(name)
