@@ -23,10 +23,9 @@ TPU-first design choices (not a port):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from tokensgen_tpu.kernels.attention import flash_attention

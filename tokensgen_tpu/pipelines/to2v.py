@@ -25,7 +25,7 @@ Stages (edit workload, `config/infer/edit.yaml`):
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -18,7 +18,7 @@ import io
 import json
 import threading
 import time
-from typing import Dict, List, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -17,7 +17,7 @@ Per-sample rotary tables are built with the traced-grid rope builder under vmap 
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

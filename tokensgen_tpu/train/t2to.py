@@ -17,7 +17,6 @@ Reference semantics (`/root/reference/train_cogvideo_t2to.py`):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

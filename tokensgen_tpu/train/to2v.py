@@ -17,7 +17,7 @@ optimizer holds state only for trainable leaves.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import flax
 import jax
