@@ -179,6 +179,24 @@ def main():
         dcfg.max_text_seq_length, dcfg.text_embed_dim,
     )
 
+    # validation items: held-out CSV with fixed indices
+    # (`config/train/*_to2v.yaml:123-140` semantics)
+    val_items = None
+    if cfg.get_path("val_data_params.csv_file"):
+        from tokensgen_tpu.data import MiraDataset as _MD
+
+        val_ds = _MD(
+            cfg.get_path("val_data_params.csv_file"),
+            cfg.get_path("val_data_params.video_dir"),
+            height=height, width=width,
+            sample_fps=cfg.get_path("val_data_params.sample_fps", 10),
+            chunk_size=nf_px,
+            max_num_chunks=cfg.get_path("val_data_params.max_num_chunks", 2),
+            random_sample=False, i_drop_rate=0, t_drop_rate=0, ti_drop_rate=0,
+        )
+        idxs = cfg.get_path("val_data_params.indices", [0])
+        val_items = [val_ds[i] for i in idxs]
+
     tb = TBLogger(run_dir)
     host_rng = np.random.default_rng(cfg.get("seed", 42))
     max_steps = args.max_steps or cfg.get("max_train_steps", 100)
@@ -265,7 +283,12 @@ def main():
             print(f"step {step}: loss {loss:.4f} "
                   f"({(time.time()-t_start)/(step-step0+1):.2f}s/step)", flush=True)
         if val_every and (step + 1) % val_every == 0:
-            run_validation(step + 1, params, batch)
+            if val_items is not None:
+                from tokensgen_tpu.data.mira import collate
+
+                run_validation(step + 1, params, collate(val_items))
+            else:
+                run_validation(step + 1, params, batch)
         if (step + 1) % ckpt_every == 0 or step + 1 == max_steps:
             CK.save_checkpoint(
                 ckpt_root, step + 1,
