@@ -125,3 +125,39 @@ def test_padded_chunk_masks():
     assert (kb[1, 3 + 12:] < -1e8).all()  # frames 2,3 masked
     lm = np.asarray(loss_mask)
     assert lm[1, 2:].sum() == 0 and lm[1, :2].sum() == 2
+
+
+def test_vip_encode_video_latents():
+    """Precomputed VAE latents -> frozen patch-proj + resampler -> condensed
+    tokens (`train_cogvideo_t2to.py:1715-1740`)."""
+    from tokensgen_tpu.models.dit import DiTConfig, VIPConfig, CogVideoXTransformer
+    from tokensgen_tpu.models.resampler import Resampler, ResamplerConfig
+    from tokensgen_tpu.train.t2to import vip_encode_video_latents
+    from tokensgen_tpu.core.rope import get_3d_rotary_pos_embed_v2
+
+    vc = VIPConfig(output_dim=24, num_temporal_queries=2, num_height_queries=2,
+                   num_width_queries=3, length=3 * 2 * 3)
+    dcfg = DiTConfig.tiny(vip=vc, sample_height=4, sample_width=6)
+    rcfg = ResamplerConfig.tiny(embedding_dim=dcfg.inner_dim, output_dim=24,
+                                num_temporal_queries=2, num_height_queries=2,
+                                num_width_queries=3)
+    rng = np.random.default_rng(0)
+    d = dcfg.attention_head_dim
+    rope = get_3d_rotary_pos_embed_v2(d, np.arange(3), np.arange(2), np.arange(3))
+    dit = CogVideoXTransformer(dcfg)
+    dit_params = dit.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3, 16, 4, 6)),
+        jnp.zeros((1, dcfg.max_text_seq_length, dcfg.text_embed_dim)),
+        jnp.zeros((1,), jnp.int32),
+        vip_hidden_states=jnp.zeros((1, 3, 24, 2, 3)),
+        image_rotary_emb=rope, vip_image_rotary_emb=rope,
+        vip_condition_rotary_emb=get_3d_rotary_pos_embed_v2(d, np.arange(3), np.arange(2), np.arange(3)),
+    )["params"]
+    rs_params = Resampler(rcfg).init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 3, 6, rcfg.embedding_dim)))
+
+    vae_latents = jnp.asarray(rng.normal(size=(2, 9, 16, 4, 6)), jnp.float32)  # 3 chunks
+    toks = vip_encode_video_latents(dcfg, dit_params, rcfg, rs_params, vae_latents,
+                                    nf_per_chunk=3)
+    assert toks.shape == (2, 3 * 2, 24, 2, 3)  # 3 chunks x 2 temporal queries
+    assert np.isfinite(np.asarray(toks)).all()
