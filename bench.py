@@ -35,7 +35,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure(layers: int, use_vip: bool):
+def measure(layers: int, use_vip: bool, cfg_batched: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -53,7 +53,7 @@ def measure(layers: int, use_vip: bool):
     s_vip = 480 if use_vip else 0
     seq = s_text + s_video + s_vip
 
-    cfg_b = 2 * b  # the denoise step runs the CFG pair as one batched forward
+    cfg_b = 2 * b if cfg_batched else b  # CFG pair: one batched fwd, or 2x a B=1 fwd
     model = CogVideoXTransformer(cfg)
     x = jnp.zeros((cfg_b, f, 16, h, w), jnp.bfloat16)
     text = jnp.zeros((cfg_b, s_text, 4096), jnp.bfloat16)
@@ -93,8 +93,8 @@ def measure(layers: int, use_vip: bool):
         out = fwd(params, x, text, t, **args_extra)
     out.block_until_ready()
     fwd_sec = (time.time() - t0) / n_iters
-    # the forward IS the CFG pair (batch 2), i.e. one denoise step
-    step_sec = fwd_sec * (FULL_LAYERS / layers)
+    # one denoise step = the CFG pair
+    step_sec = fwd_sec * (FULL_LAYERS / layers) * (1 if cfg_batched else 2)
     if layers != FULL_LAYERS:
         log(f"NOTE: extrapolated from {layers} layers to {FULL_LAYERS}")
 
@@ -108,7 +108,7 @@ def measure(layers: int, use_vip: bool):
     attn = 4 * seq * seq * inner
     if use_vip:
         attn += 4 * seq * s_vip * inner + 4 * s_vip * (seq + s_vip) * inner
-    flops_fwd = FULL_LAYERS * (per_layer + attn) * cfg_b
+    flops_fwd = FULL_LAYERS * (per_layer + attn) * 2 * b  # per step (CFG pair)
     est_ref_sec = flops_fwd / (312e12 * 0.40)
     log(f"cfg-batched fwd {fwd_sec*1e3:.0f} ms; step {step_sec*1e3:.0f} ms; "
         f"{flops_fwd/step_sec/1e12:.1f} TFLOP/s effective; "
@@ -119,19 +119,19 @@ def measure(layers: int, use_vip: bool):
 def main():
     layers = int(os.environ.get("BENCH_LAYERS", str(FULL_LAYERS)))
     use_vip = os.environ.get("BENCH_VIP", "1") == "1"
-    attempts = [(layers, use_vip)]
+    attempts = [(layers, use_vip, True), (layers, use_vip, False)]
     if use_vip:
-        attempts.append((layers, False))
-    attempts.append((max(1, layers // 2), False))
+        attempts.append((layers, False, True))
+    attempts.append((max(1, layers // 2), False, True))
 
     last_err = None
-    for ls, uv in attempts:
+    for ls, uv, cb in attempts:
         try:
-            step_sec, est_ref_sec = measure(ls, uv)
+            step_sec, est_ref_sec = measure(ls, uv, cb)
             break
         except Exception as e:  # OOM etc: fall back to a smaller config
             last_err = e
-            log(f"measure(layers={ls}, vip={uv}) failed: {repr(e)[:300]}")
+            log(f"measure(layers={ls}, vip={uv}, cfg_batched={cb}) failed: {repr(e)[:300]}")
     else:
         raise SystemExit(f"all bench configs failed: {last_err!r}")
 
