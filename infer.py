@@ -251,6 +251,9 @@ def main():
                     np.asarray(out["orig_video"][0]), fps=item.get("output_fps", 10))
         np.save(os.path.join(run_dir, f"{name}_latents.npy"),
                 np.asarray(out["latents"]))
+        for ci, cv in enumerate(out.get("cache_videos") or []):
+            write_video(os.path.join(run_dir, f"{name}_cache{ci}.mp4"),
+                        np.asarray(cv[0]), fps=item.get("output_fps", 10))
         print(f"item {name}: wrote {video.shape[0]} frames", flush=True)
     print(f"done -> {run_dir}", flush=True)
 

@@ -150,3 +150,16 @@ def test_generate_separate_guidance():
                          num_chunks=2, rng=jax.random.PRNGKey(2), decode=False)
     assert out["latents"].shape == (1, 6, 16, 4, 6)
     assert np.isfinite(np.asarray(out["latents"])).all()
+
+
+def test_generate_with_cache_videos(pipe):
+    rng = np.random.default_rng(9)
+    frames = jnp.asarray(rng.uniform(-1, 1, size=(1, 18, 32, 48, 3)), jnp.float32)
+    text = jnp.asarray(rng.normal(size=(1, 8, 24)), jnp.float32)
+    out = pipe.generate(text, jnp.zeros_like(text), frames=frames, num_chunks=2,
+                        rng=jax.random.PRNGKey(4), cache_idx=(0,))
+    assert out["cache_x0"].shape[0] == 1
+    assert "cache_videos" in out and len(out["cache_videos"]) == 1
+    cv = np.asarray(out["cache_videos"][0])
+    # 6 valid captures -> truncated to 2 decode chunks of 3 latent frames
+    assert cv.shape[0] == 1 and cv.shape[1] % 9 == 0 and cv.shape[1] > 0

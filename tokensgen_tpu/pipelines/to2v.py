@@ -192,6 +192,9 @@ class To2VPipeline:
             return jnp.concatenate(toks, axis=1)
 
         cond = encode_chunks(video)
+        from tokensgen_tpu.utils.debug import stats
+
+        cond = stats("image_embeddings", cond)  # (`:1174-1175` print parity)
         if not do_cfg:
             return cond
         uncond = encode_chunks(jnp.zeros_like(video))
@@ -431,6 +434,21 @@ class To2VPipeline:
         if decode and self.vae is not None:
             out["video"] = self.decode_latents(fifo_res.latents)
             out["orig_video"] = self.decode_latents(res.latents)
+            if fifo_res.cache_x0 is not None:
+                # cache tracks: one output frame's x0 across its denoise
+                # trajectory, decoded as a video (`infer_cogvideo_mp_fifo.py:
+                # 369-385`); truncated to whole decode chunks
+                nf = cfg.nf_latent
+                cache_videos = []
+                for c in range(fifo_res.cache_x0.shape[0]):
+                    valid = np.asarray(fifo_res.cache_valid[c])
+                    track = fifo_res.cache_x0[c][valid]  # [T, B, C, H, W]
+                    track = track.transpose(1, 0, 2, 3, 4)
+                    t_use = (track.shape[1] // nf) * nf
+                    if t_use == 0:
+                        continue
+                    cache_videos.append(self.decode_latents(track[:, :t_use]))
+                out["cache_videos"] = cache_videos
         return out
 
     # ----------------------------------------------- alternate sampling modes
