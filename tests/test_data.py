@@ -107,3 +107,14 @@ def test_batch_iterator_sharding(video_dir):
     b1 = list(batch_iterator(ds, 1, seed=2, num_shards=2, shard_index=1))
     assert len(b0) == 1 and len(b1) == 1
     assert b0[0]["video_index"][0] != b1[0]["video_index"][0]
+
+
+def test_save_videos_grid(tmp_path):
+    pytest.importorskip("cv2")
+    from tokensgen_tpu.data.video_io import read_frames, save_videos_grid
+
+    vids = np.random.default_rng(0).uniform(-1, 1, size=(3, 4, 32, 48, 3)).astype(np.float32)
+    out = str(tmp_path / "grid.mp4")
+    save_videos_grid(out, vids, fps=4.0)
+    frames = read_frames(out)
+    assert frames.shape == (4, 32, 144, 3)  # n_rows=floor(sqrt(3))=1, 3 cols

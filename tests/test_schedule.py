@@ -172,3 +172,40 @@ def test_add_noise_to_xt_uses_original_betas():
     out = S.add_noise_to_xt(sched, x, nz, jnp.asarray([999]))
     beta = np.asarray(sched.betas)[999]
     np.testing.assert_allclose(np.asarray(out), (1 - beta) ** 0.5, rtol=1e-6)
+
+
+def test_ddim_invert_round_trip():
+    """Constant-eps model: denoise then invert must recover the start exactly
+    (each DDIM step is affine in (x0, eps) and both are recovered exactly)."""
+    # epsilon algebra needs alpha_cumprod > 0 everywhere: disable zero-terminal-SNR
+    cfg = S.ScheduleConfig(prediction_type="epsilon", rescale_betas_zero_snr=False)
+    sched = S.make_schedule(cfg)
+    rng = np.random.default_rng(0)
+    eps = jnp.asarray(rng.normal(size=(1, 2, 3, 4, 4)).astype(np.float32))
+
+    from tokensgen_tpu.sampling.base import ddim_invert
+
+    ts = np.asarray(S.inference_timesteps(cfg, 8))
+    prev_ts = np.concatenate([ts[1:], [-1]])
+    x = jnp.asarray(rng.normal(size=eps.shape).astype(np.float32))
+    start = x
+    for t, pt in zip(ts, prev_ts):
+        tb = jnp.full((1,), t, jnp.int32)
+        pb = jnp.full((1,), pt, jnp.int32)
+        x, _ = S.ddim_step(sched, eps, x, tb, pb)
+    recon = ddim_invert(lambda lat, t: eps, sched, x, num_inference_steps=8)
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(start), atol=2e-4)
+
+
+def test_pred_epsilon_consistent_with_x0():
+    """x = sqrt(ap)*x0 + sqrt(1-ap)*eps must hold for the two predictors."""
+    sched = S.make_schedule(S.ScheduleConfig(prediction_type="v_prediction"))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 3, 4)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 3, 4)).astype(np.float32))
+    t = jnp.asarray([500, 10], jnp.int32)
+    x0 = S.pred_original_sample(sched, v, x, t)
+    eps = S.pred_epsilon(sched, v, x, t)
+    ap = np.asarray(sched.alphas_cumprod)[np.asarray(t)][:, None, None]
+    recon = np.sqrt(ap) * np.asarray(x0) + np.sqrt(1 - ap) * np.asarray(eps)
+    np.testing.assert_allclose(recon, np.asarray(x), atol=1e-5)

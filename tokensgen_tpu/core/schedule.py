@@ -172,6 +172,26 @@ def pred_original_sample(
 # ---------------------------------------------------------------------------
 
 
+def pred_epsilon(
+    sched: DiffusionSchedule,
+    model_output: jnp.ndarray,
+    sample: jnp.ndarray,
+    t: jnp.ndarray,
+    prediction_type: Optional[str] = None,
+) -> jnp.ndarray:
+    """Noise (eps) estimate from a model output at (vector) timestep t."""
+    prediction_type = prediction_type or sched.config.prediction_type
+    ap = _bcast(_alpha_at(sched, t), sample)
+    bp = 1.0 - ap
+    if prediction_type == "epsilon":
+        return model_output
+    if prediction_type == "sample":
+        return (sample - ap**0.5 * model_output) / jnp.maximum(bp, 1e-12) ** 0.5
+    if prediction_type == "v_prediction":
+        return ap**0.5 * model_output + bp**0.5 * sample
+    raise ValueError(prediction_type)
+
+
 def ddim_step(
     sched: DiffusionSchedule,
     model_output: jnp.ndarray,
@@ -190,6 +210,26 @@ def ddim_step(
     a_t = ((1.0 - ap_prev) / (1.0 - ap)) ** 0.5
     b_t = ap_prev**0.5 - ap**0.5 * a_t
     return a_t * sample + b_t * x0, x0
+
+
+def ddim_invert_step(
+    sched: DiffusionSchedule,
+    model_output: jnp.ndarray,
+    sample: jnp.ndarray,
+    t: jnp.ndarray,
+    next_t: jnp.ndarray,
+) -> jnp.ndarray:
+    """Deterministic DDIM inversion step: x_t -> x_{next_t} with next_t noisier.
+
+    Counterpart of `ddim_step` run in reverse (the reference ships this as the
+    DDIM-inversion helper in `longvgen/utils/util.py`): decompose the sample at
+    t into (x0, eps) under the model's prediction type, then re-compose at the
+    higher-noise level `x_next = sqrt(ap_next)·x0 + sqrt(1-ap_next)·eps`.
+    """
+    x0 = pred_original_sample(sched, model_output, sample, t)
+    eps = pred_epsilon(sched, model_output, sample, t)
+    ap_next = _bcast(_alpha_at(sched, next_t), sample)
+    return ap_next**0.5 * x0 + (1.0 - ap_next) ** 0.5 * eps
 
 
 def dpm_step(

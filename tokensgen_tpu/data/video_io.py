@@ -84,6 +84,28 @@ def load_video(
     return out[None]
 
 
+def save_videos_grid(
+    path: str, videos: np.ndarray, fps: float = 10.0, n_rows: Optional[int] = None
+) -> None:
+    """Tile a batch of videos into one grid mp4 (`longvgen/utils/util.py`'s
+    `save_videos_grid`). ``videos``: [B, F, H, W, 3] float in [-1,1]/[0,1] or uint8.
+    """
+    b = videos.shape[0]
+    if n_rows is None:
+        n_rows = int(np.floor(np.sqrt(b))) or 1
+    n_cols = -(-b // n_rows)
+    pad = n_rows * n_cols - b
+    if pad:
+        videos = np.concatenate([videos, np.zeros_like(videos[:pad])], axis=0)
+    f, h, w, c = videos.shape[1:]
+    grid = (
+        videos.reshape(n_rows, n_cols, f, h, w, c)
+        .transpose(2, 0, 3, 1, 4, 5)
+        .reshape(f, n_rows * h, n_cols * w, c)
+    )
+    write_video(path, grid, fps=fps)
+
+
 def write_video(path: str, video: np.ndarray, fps: float = 10.0) -> None:
     """[F, H, W, 3] float in [-1,1] or [0,1] (or uint8) -> mp4."""
     if video.dtype != np.uint8:

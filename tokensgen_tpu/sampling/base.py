@@ -148,3 +148,36 @@ def denoise(
     fifo_x0 = jnp.flip(snap_x0s, axis=0).transpose(1, 0, 2, 3, 4)
     fifo_valid = jnp.flip(snap_valids, axis=0)
     return DenoiseResult(final, fifo_latents, fifo_x0, fifo_valid)
+
+
+def ddim_invert(
+    model_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    sched: S.DiffusionSchedule,
+    latents: jnp.ndarray,  # [B, F, C, H, W] clean latents
+    num_inference_steps: int = 52,
+) -> jnp.ndarray:
+    """Deterministic DDIM inversion: clean latents -> their generating noise.
+
+    The reference keeps a DDIM-inversion helper in `longvgen/utils/util.py`
+    (used for edit-style workflows). Here: run the inference timestep grid in
+    ascending order with `ddim_invert_step`, unconditional model only (CFG-free
+    inversion is the standard choice — guidance makes inversion non-invertible).
+    """
+    ts = np.asarray(S.inference_timesteps(sched.config, num_inference_steps))[::-1]
+    src_ts = np.concatenate([[-1], ts[:-1]])  # -1 => alpha_cumprod = 1 (clean)
+    b = latents.shape[0]
+
+    def step(x, inp):
+        src_t, dst_t = inp
+        # model is evaluated at the *current* noise level of x (src_t); the first
+        # step queries t=-1 ~ clean input, matching the usual implementation that
+        # uses the previous grid point's prediction.
+        tvec = jnp.full((b,), jnp.maximum(src_t, 0), dtype=jnp.int32)
+        eps = model_fn(x, tvec).astype(jnp.float32)
+        sb = jnp.full((b,), src_t, dtype=jnp.int32)
+        db = jnp.full((b,), dst_t, dtype=jnp.int32)
+        return S.ddim_invert_step(sched, eps, x, sb, db), None
+
+    out, _ = jax.lax.scan(step, latents.astype(jnp.float32),
+                          (jnp.asarray(src_ts), jnp.asarray(ts)))
+    return out
