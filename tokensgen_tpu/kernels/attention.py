@@ -154,11 +154,21 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: int = 512,
     block_kv: int = 1024,
+    tp_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Bidirectional attention, [B, H, Sq, D] x [B, H, Skv, D] -> [B, H, Sq, D].
 
     ``key_bias``: optional additive [B, Skv] bias on keys (0 / -1e9), used for the
     T2To padded-chunk mask. ``scale`` defaults to 1/sqrt(D) (SDPA default).
+
+    ``tp_axis``: mesh axis name for tensor parallelism. Attention is independent
+    per head, but the Pallas custom call does not auto-partition under jit
+    sharding propagation — so when TP is on, the op shard_maps *itself* over the
+    head dimension (each shard runs the unchanged kernel on its local heads; no
+    collectives inside). Requires an ambient mesh (``jax.set_mesh`` /
+    ``jax.sharding.use_abstract_mesh``) carrying ``tp_axis``, and H divisible by
+    its size. With column-parallel q/k/v projections (sharding/tp.py) the inputs
+    are already head-sharded, so entering the shard_map moves no data.
     """
     b, h, sq, d = q.shape
     has_bias = key_bias is not None
@@ -169,6 +179,23 @@ def flash_attention(
     if scale is None:
         scale = d**-0.5
 
+    if tp_axis is not None:
+        from jax.sharding import PartitionSpec as P
+
+        hs = P(None, tp_axis, None, None)
+        fn = jax.shard_map(
+            lambda q_, k_, v_, bias_: _dispatch(
+                q_, k_, v_, bias_, scale, block_q, block_kv, has_bias),
+            in_specs=(hs, hs, hs, P(None, None)),
+            out_specs=hs,
+        )
+        return fn(q, k, v, key_bias)
+    return _dispatch(q, k, v, key_bias, scale, block_q, block_kv, has_bias)
+
+
+def _dispatch(q, k, v, key_bias, scale, block_q, block_kv, has_bias):
+    sq = q.shape[2]
+    d = q.shape[3]
     if jax.default_backend() == "tpu":
         import os
 

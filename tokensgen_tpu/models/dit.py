@@ -98,6 +98,10 @@ class DiTConfig:
     # analog (`attention_processor.py:2663-2733`); convert params with
     # `fuse_qkv_params` / `unfuse_qkv_params`
     fuse_qkv: bool = False
+    # tensor-parallel mesh axis: when set, attention ops shard_map themselves
+    # over heads on this axis (see kernels/attention.py). Use together with
+    # sharding/tp.py param specs and an ambient mesh (`jax.set_mesh`).
+    tp_axis: Optional[str] = None
 
     @property
     def inner_dim(self) -> int:
@@ -199,6 +203,9 @@ class JointVIPAttention(nn.Module):
         cfg = self.config
         inner, heads, dt = cfg.inner_dim, cfg.num_attention_heads, cfg.dtype
 
+        def attn(*a, **kw):
+            return flash_attention(*a, tp_axis=cfg.tp_axis, **kw)
+
         def dense(name):
             return nn.Dense(inner, use_bias=cfg.attention_bias, dtype=dt, name=name)
 
@@ -224,7 +231,7 @@ class JointVIPAttention(nn.Module):
             q, k = norm_q(q), norm_k(k)
         q = rope_video_part(q, image_rotary_emb)
         k = rope_video_part(k, image_rotary_emb)
-        out = flash_attention(q, k, v, key_bias=key_bias)  # [B, H, T+Sv, d]
+        out = attn(q, k, v, key_bias=key_bias)  # [B, H, T+Sv, d]
 
         vip_attn_out = None
         ar_attn_out = None
@@ -262,13 +269,13 @@ class JointVIPAttention(nn.Module):
                 q_vip = apply_rotary_emb(q_vip, vip_condition_rotary_emb)
                 k_vip = apply_rotary_emb(k_vip, vip_condition_rotary_emb)
 
-            cross_vip = flash_attention(q_tv, k_vip, v_vip)
-            cross_ar = flash_attention(q_tv, k_ar, v_ar)
+            cross_vip = attn(q_tv, k_vip, v_vip)
+            cross_ar = attn(q_tv, k_ar, v_ar)
             scale = cfg.vip.scale if vip_scale is None else vip_scale
             scale = jnp.asarray(scale, dtype=out.dtype)
             scale = scale.reshape(scale.shape + (1,) * (out.ndim - scale.ndim))
             out = out + scale * cross_vip + cfg.vip.scale_ar * cross_ar
-            arvip = flash_attention(
+            arvip = attn(
                 jnp.concatenate([q_ar, q_vip], axis=2),
                 jnp.concatenate([k_tv, k_ar, k_vip], axis=2),
                 jnp.concatenate([v_tv, v_ar, v_vip], axis=2),
@@ -301,7 +308,7 @@ class JointVIPAttention(nn.Module):
                 k_vip = apply_rotary_emb(k_vip, vip_condition_rotary_emb)
 
             # (text_)video -> vip cross attention, added with per-sample scale
-            tv_cross = flash_attention(q_tv, k_vip, v_vip)
+            tv_cross = attn(q_tv, k_vip, v_vip)
             scale = cfg.vip.scale if vip_scale is None else vip_scale
             scale = jnp.asarray(scale, dtype=out.dtype)
             scale = scale.reshape(scale.shape + (1,) * (out.ndim - scale.ndim))
@@ -314,7 +321,7 @@ class JointVIPAttention(nn.Module):
                 )
             if ft != "3":
                 # vip -> [(text_)video ‖ vip] (`:2120-2125,2264-2269`)
-                vip_attn_out = flash_attention(
+                vip_attn_out = attn(
                     q_vip,
                     jnp.concatenate([k_tv, k_vip], axis=2),
                     jnp.concatenate([v_tv, v_vip], axis=2),

@@ -14,11 +14,11 @@ shard the 48 attention heads / FFN of the 5b DiT over a ``model`` axis for
 and `jit` with these in_shardings; XLA's sharding propagation does the rest
 (activations head-sharded through attention because q/k/v splits are head-major).
 
-Note: on TPU the Pallas flash-attention custom call does not auto-partition under
-jit sharding propagation; TP inference there should either wrap the DiT forward
-in `shard_map` over the model axis (each shard sees its local heads — the kernel
-needs no change) or use the XLA attention path. The CPU/XLA path partitions
-transparently (validated in tests/test_tp.py).
+On TPU the Pallas flash-attention custom call does not auto-partition under jit
+sharding propagation. Set ``DiTConfig(tp_axis="model")`` alongside these specs:
+the attention op then shard_maps itself over the head dimension (see
+`kernels/attention.py`), which requires an ambient mesh (``jax.set_mesh``).
+Both paths are equality-tested in tests/test_tp.py.
 """
 
 from __future__ import annotations
