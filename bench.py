@@ -116,32 +116,61 @@ def measure(layers: int, use_vip: bool, cfg_batched: bool = True):
     return step_sec, est_ref_sec
 
 
+def _attempt_main(ls: int, uv: bool, cb: bool) -> None:
+    """Child-process entry: one measure, result JSON on stdout fd-style."""
+    step_sec, est_ref_sec = measure(ls, uv, cb)
+    print(json.dumps({"step_sec": step_sec, "est_ref_sec": est_ref_sec}))
+
+
 def main():
+    import subprocess
+
     layers = int(os.environ.get("BENCH_LAYERS", str(FULL_LAYERS)))
     use_vip = os.environ.get("BENCH_VIP", "1") == "1"
-    attempts = [(layers, use_vip, True), (layers, use_vip, False)]
+    # B=1x2 first: the CFG-batched B=2 pair of the full 7.17B model OOMs the
+    # 16 GB v5e (verified twice 2026-08-16) and costs a ~14-min doomed compile.
+    attempts = [(layers, use_vip, False), (layers, use_vip, True)]
     if use_vip:
         attempts.append((layers, False, True))
-    attempts.append((max(1, layers // 2), False, True))
+    half = max(1, layers // 2)
+    if use_vip:
+        attempts.append((half, True, True))
+    attempts.append((half, False, True))
 
-    last_err = None
+    # Each attempt runs in a FRESH subprocess: a crashed/oom'd compile poisons
+    # the TPU client state and leaks HBM (observed with the axon remote-compile
+    # helper), which would otherwise doom every later fallback config.
+    result = None
     for ls, uv, cb in attempts:
         try:
-            step_sec, est_ref_sec = measure(ls, uv, cb)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--attempt",
+                 str(ls), "1" if uv else "0", "1" if cb else "0"],
+                capture_output=True, text=True, timeout=1500,
+            )
+        except subprocess.TimeoutExpired:
+            log(f"attempt(layers={ls}, vip={uv}, cfg_batched={cb}) timed out")
+            continue
+        sys.stderr.write(proc.stderr[-4000:])
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        if proc.returncode == 0 and line.startswith("{"):
+            result = json.loads(line)
             break
-        except Exception as e:  # OOM etc: fall back to a smaller config
-            last_err = e
-            log(f"measure(layers={ls}, vip={uv}, cfg_batched={cb}) failed: {repr(e)[:300]}")
-    else:
-        raise SystemExit(f"all bench configs failed: {last_err!r}")
+        log(f"attempt(layers={ls}, vip={uv}, cfg_batched={cb}) failed "
+            f"(rc={proc.returncode})")
+    if result is None:
+        raise SystemExit("all bench configs failed")
 
     print(json.dumps({
         "metric": "to2v_5b_dit_sec_per_denoise_step",
-        "value": round(step_sec, 4),
+        "value": round(result["step_sec"], 4),
         "unit": "s/step (CFG-batched pair, 13f 720x480 clip, 1 chip v5e)",
-        "vs_baseline": round(est_ref_sec / step_sec, 3),
+        "vs_baseline": round(result["est_ref_sec"] / result["step_sec"], 3),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 5 and sys.argv[1] == "--attempt":
+        _attempt_main(int(sys.argv[2]), sys.argv[3] == "1", sys.argv[4] == "1")
+    else:
+        main()

@@ -199,10 +199,13 @@ def _dispatch(q, k, v, key_bias, scale, block_q, block_kv, has_bias):
     if jax.default_backend() == "tpu":
         import os
 
-        if (not has_bias and os.environ.get("TOKENSGEN_LIB_FLASH") == "1"
+        if (not has_bias and os.environ.get("TOKENSGEN_LIB_FLASH", "1") == "1"
                 and sq >= 512 and k.shape[2] >= 1024 and d in (64, 128)):
-            # optional dispatch to jax's reference TPU flash kernel (~25% faster
-            # at 18k seq as of jax 0.9; ours remains the default + bias path)
+            # jax's in-tree TPU flash kernel (~25% faster at 18k seq as of
+            # jax 0.9) is the default for the no-bias long-seq path; arbitrary
+            # lengths are handled with segment-id-masked padding. Set
+            # TOKENSGEN_LIB_FLASH=0 to force our kernel (which also serves the
+            # bias path and short sequences).
             try:
                 return _lib_flash(q, k, v, scale)
             except Exception:
@@ -216,17 +219,24 @@ def _dispatch(q, k, v, key_bias, scale, block_q, block_kv, has_bias):
 
 def _lib_flash(q, k, v, scale):
     from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes, flash_attention as _fa,
+        BlockSizes, SegmentIds, flash_attention as _fa,
     )
 
+    b = q.shape[0]
     sq, skv = q.shape[2], k.shape[2]
     sq_p = _round_up(sq, 512)
     skv_p = _round_up(skv, 1024)
-    if sq_p != sq:
+    seg = None
+    if sq_p != sq or skv_p != skv:
+        # mask padding via segment ids: real tokens segment 1, padding segment 0
+        # (padded q rows are fully masked -> garbage, sliced off below)
         q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
-    if skv_p != skv:
-        # padded keys must not receive weight: fall back to our kernel instead
-        raise ValueError("kv padding needs the bias path")
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+        qs = jnp.broadcast_to((jnp.arange(sq_p) < sq).astype(jnp.int32), (b, sq_p))
+        ks = jnp.broadcast_to((jnp.arange(skv_p) < skv).astype(jnp.int32), (b, skv_p))
+        seg = SegmentIds(q=qs, kv=ks)
     bs = BlockSizes(block_q=512, block_k_major=1024, block_k=1024, block_b=1)
-    out = _fa(q, k, v, causal=False, sm_scale=scale, block_sizes=bs)
+    out = _fa(q, k, v, segment_ids=seg, causal=False, sm_scale=scale,
+              block_sizes=bs)
     return out[:, :, :sq, :]

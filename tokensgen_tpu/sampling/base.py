@@ -24,6 +24,7 @@ import numpy as np
 
 from tokensgen_tpu.core import cfg as cfg_lib
 from tokensgen_tpu.core import schedule as S
+from tokensgen_tpu.utils import debug
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,9 +98,7 @@ def denoise(
         )
         tvec = jnp.full((lat_in.shape[0],), t, dtype=jnp.int32)
         noise_pred = model_fn(lat_in, tvec).astype(jnp.float32)
-        from tokensgen_tpu.utils.debug import stats as _dbg
-
-        noise_pred = _dbg("noise_pred", noise_pred)
+        noise_pred = debug.stats("noise_pred", noise_pred)
 
         if scfg.do_classifier_free_guidance:
             g = g_table[t] if g_table is not None else scfg.guidance_scale

@@ -200,6 +200,20 @@ def fifo_generate(
             re = jnp.asarray(real_end)[rid]
             active = m > qs
             start = jnp.maximum(s0, qs)
+            # warm-up specialization: during the adaptive-padding ramp inactive
+            # ranks contribute nothing (mask below is all-False), so the whole
+            # DiT forward + DPM step is skipped with a real `lax.cond` — the
+            # reference's Python-level rank skip (`cogvideo_sampling_mp_fifo.py:
+            # 235-253`), expressed without dynamic shapes.
+            return jax.lax.cond(
+                active,
+                lambda: _one_rank_active(rid, s0, m, re, start),
+                lambda: (jnp.zeros_like(queue), jnp.zeros_like(queue),
+                         jnp.zeros((Q,), bool)),
+            )
+
+        def _one_rank_active(rid, s0, m, re, start):
+            active = m > qs
 
             lat = jax.lax.dynamic_slice_in_dim(queue, start, nf, axis=1)
             old = jax.lax.dynamic_slice_in_dim(x0_buf, start, nf, axis=1)
