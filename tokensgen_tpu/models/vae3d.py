@@ -70,15 +70,57 @@ class VAEConfig:
 
 
 class GroupNorm32(nn.Module):
+    """GroupNorm with float32 statistics but activations kept in the compute
+    dtype: flax's `_compute_stats` already accumulates mean/var in float32, so
+    an explicit astype(float32) of the whole activation (a 6.5 GB materialised
+    copy at decode resolution) is unnecessary — the fused reduction suffices."""
+
     groups: int
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        dt = x.dtype
-        y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=jnp.float32)(
-            x.astype(jnp.float32)
+        return nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=x.dtype)(x)
+
+
+class Conv3dTap2d(nn.Module):
+    """3-D convolution evaluated as a sum of per-temporal-tap 2-D convolutions.
+
+    Parameter layout is identical to ``nn.Conv`` (kernel [kt,kh,kw,in,out],
+    bias [out]) so checkpoints/converters are unaffected — but XLA:TPU lowers
+    true 3-D convs ~4x slower than the equivalent 2-D convs with time folded
+    into batch (measured 4.7 vs 20.9 TF/s for the 128-ch encoder shape on
+    v5e), so the temporal axis is handled by tap summation. Input must already
+    carry temporal context (kt-1 leading frames) and spatial padding; VALID.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int, int]
+    strides_hw: Tuple[int, int] = (1, 1)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kt, kh, kw = self.kernel_size
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kt, kh, kw, in_ch, self.features), jnp.float32,
         )
-        return y.astype(dt)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        b, tt, h, w, _ = x.shape
+        t_out = tt - (kt - 1)
+        xd = x.astype(self.dtype)
+        kd = kernel.astype(self.dtype)
+        out = None
+        for k in range(kt):
+            xk = xd[:, k:k + t_out].reshape(b * t_out, h, w, in_ch)
+            o = jax.lax.conv_general_dilated(
+                xk, kd[k], self.strides_hw, "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            out = o if out is None else out + o
+        out = out + bias.astype(self.dtype)
+        return out.reshape((b, t_out) + out.shape[1:])
 
 
 class CausalConv3d(nn.Module):
@@ -107,9 +149,8 @@ class CausalConv3d(nn.Module):
                 x,
                 ((0, 0), (0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)),
             )
-        return nn.Conv(
-            self.features, self.kernel_size, strides=(1, 1, 1), padding="VALID",
-            dtype=self.dtype, name="conv",
+        return Conv3dTap2d(
+            self.features, self.kernel_size, dtype=self.dtype, name="conv"
         )(x)
 
 
@@ -196,9 +237,9 @@ class Downsample3D(nn.Module):
             elif t > 1:
                 x = 0.5 * (x[:, 0::2] + x[:, 1::2])
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
-        return nn.Conv(
-            self.out_channels, (1, 3, 3), strides=(1, 2, 2), padding="VALID",
-            dtype=self.dtype, name="conv",
+        return Conv3dTap2d(
+            self.out_channels, (1, 3, 3), strides_hw=(2, 2), dtype=self.dtype,
+            name="conv",
         )(x)
 
 
@@ -226,8 +267,8 @@ class Upsample3D(nn.Module):
         else:
             x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
         x = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
-        return nn.Conv(
-            self.out_channels, (1, 3, 3), padding="VALID", dtype=self.dtype, name="conv"
+        return Conv3dTap2d(
+            self.out_channels, (1, 3, 3), dtype=self.dtype, name="conv"
         )(x)
 
 
@@ -352,7 +393,10 @@ class VAERunner:
         self.model = AutoencoderKLCogVideoX(config)
         self.use_tiling = use_tiling
         self.num_sample_frames_batch_size = 8
-        self.num_latent_frames_batch_size = 2
+        # reference uses 2-latent-frame decode batches; on the 16 GB v5e the
+        # up_3-level temporaries (480x720x256 x 9 px frames) exceed HBM, so we
+        # decode one latent frame (4-5 px frames) per step
+        self.num_latent_frames_batch_size = 1
         self.tile_sample_min_height = tile_sample_min_height or config.sample_height // 2
         self.tile_sample_min_width = tile_sample_min_width or config.sample_width // 2
         self.tile_overlap_factor_height = 1 / 6
