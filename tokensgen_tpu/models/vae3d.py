@@ -392,11 +392,9 @@ class VAERunner:
         self.params = params
         self.model = AutoencoderKLCogVideoX(config)
         self.use_tiling = use_tiling
+        self.auto_tile_decode = True
         self.num_sample_frames_batch_size = 8
-        # reference uses 2-latent-frame decode batches; on the 16 GB v5e the
-        # up_3-level temporaries (480x720x256 x 9 px frames) exceed HBM, so we
-        # decode one latent frame (4-5 px frames) per step
-        self.num_latent_frames_batch_size = 1
+        self.num_latent_frames_batch_size = 2
         self.tile_sample_min_height = tile_sample_min_height or config.sample_height // 2
         self.tile_sample_min_width = tile_sample_min_width or config.sample_width // 2
         self.tile_overlap_factor_height = 1 / 6
@@ -443,7 +441,11 @@ class VAERunner:
         return jnp.concatenate(outs, axis=1)
 
     def decode(self, z: jnp.ndarray) -> jnp.ndarray:
-        if self.use_tiling and (
+        # decode always tiles past the tile minimums: a full-frame 480x720
+        # bf16 decode compiles to a ~17 GB program (up_3-level 480x720x256
+        # temporaries x 9 px frames) and cannot fit the 16 GB v5e — the same
+        # reason the reference ships tiled_decode (`:1190-1250`).
+        if (self.use_tiling or self.auto_tile_decode) and (
             z.shape[2] > self.tile_latent_min_height or z.shape[3] > self.tile_latent_min_width
         ):
             return self._tiled_decode(z)
