@@ -126,3 +126,21 @@ def test_sample_latent_stochastic():
     s2 = sample_latent(moments, jax.random.PRNGKey(1))
     np.testing.assert_array_equal(np.asarray(mode), np.asarray(moments[..., :4]))
     assert not np.allclose(np.asarray(s1), np.asarray(s2))
+
+
+def test_runner_decode_frame_count_multi_batch(tiny_vae):
+    """VAERunner decode in 2-latent-frame batches must emit 1 + 4*(f-1) pixel
+    frames (temporal 4x with a single causal first frame) — regression for the
+    1-frame-batch bug where the causal temporal upsample (which only doubles
+    time when a batch has >= 2 frames) silently stopped upsampling."""
+    cfg, model, params = tiny_vae
+    runner = VAERunner(cfg, params)
+    rng = np.random.default_rng(3)
+    # odd latent counts only: causally-encoded clips always produce
+    # 1 + 4k latent->pixel frames, so f = 1+(px-1)/4 is odd in practice
+    # (13 for a 49-frame chunk); the first batch absorbs the remainder and
+    # stays odd, which is what arms the causal first-frame upsample path.
+    for f in (3, 5, 7):
+        z = jnp.asarray(rng.normal(size=(1, f, 4, 6, 16)), jnp.float32)
+        out = runner.decode(z)
+        assert out.shape[1] == 1 + 4 * (f - 1), (f, out.shape)

@@ -441,11 +441,14 @@ class VAERunner:
         return jnp.concatenate(outs, axis=1)
 
     def decode(self, z: jnp.ndarray) -> jnp.ndarray:
-        # decode always tiles past the tile minimums: a full-frame 480x720
-        # bf16 decode compiles to a ~17 GB program (up_3-level 480x720x256
-        # temporaries x 9 px frames) and cannot fit the 16 GB v5e — the same
-        # reason the reference ships tiled_decode (`:1190-1250`).
-        if (self.use_tiling or self.auto_tile_decode) and (
+        # Big decodes always tile: a full-frame 480x720 bf16 decode compiles
+        # to a ~17 GB program (up_3-level 480x720x256 temporaries x 9 px
+        # frames) and cannot fit the 16 GB v5e — the same reason the reference
+        # ships tiled_decode (`:1190-1250`). The auto path only engages at
+        # production-scale latents (>= ~360x480 px output); tiny debug configs
+        # decode whole-frame.
+        big = z.shape[2] * z.shape[3] >= 2400
+        if (self.use_tiling or (self.auto_tile_decode and big)) and (
             z.shape[2] > self.tile_latent_min_height or z.shape[3] > self.tile_latent_min_width
         ):
             return self._tiled_decode(z)
