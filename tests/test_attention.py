@@ -87,3 +87,25 @@ def test_pallas_kernel_interpret_mode():
     )(q, k, v, bias)
     ref = A._xla_attention(q, k, v, bias[:, 0, :], scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_tp_axis_shard_map_matches_unsharded():
+    """flash_attention(tp_axis=...) shard_maps itself over heads; output must
+    equal the unsharded op (incl. the key-bias path) on a model-axis mesh."""
+    from tokensgen_tpu.sharding import MeshSpec, make_mesh
+
+    rng = np.random.default_rng(0)
+    b, h, s, d = 2, 4, 16, 8
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    bias = jnp.where(jnp.arange(s)[None] < 12, 0.0, -1e9).astype(jnp.float32)
+    bias = jnp.broadcast_to(bias, (b, s))
+    ref = flash_attention(q, k, v, key_bias=bias)
+
+    mesh = make_mesh(MeshSpec(data=1, queue=1, model=4))
+    with jax.set_mesh(mesh):
+        out = jax.jit(
+            lambda q, k, v, bias: flash_attention(q, k, v, key_bias=bias, tp_axis="model")
+        )(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
