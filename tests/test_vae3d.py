@@ -144,3 +144,16 @@ def test_runner_decode_frame_count_multi_batch(tiny_vae):
         z = jnp.asarray(rng.normal(size=(1, f, 4, 6, 16)), jnp.float32)
         out = runner.decode(z)
         assert out.shape[1] == 1 + 4 * (f - 1), (f, out.shape)
+
+
+def test_tiled_decode_crops_to_exact_size(tiny_vae):
+    """Clipped edge tiles can over-produce; the assembled canvas must be
+    cropped to exactly latent*8 (found via a 480x368-tile probe on TPU that
+    returned width 734 instead of 720)."""
+    cfg, model, params = tiny_vae
+    runner = VAERunner(cfg, params, use_tiling=True,
+                       tile_sample_min_height=32, tile_sample_min_width=40)
+    rng = np.random.default_rng(5)
+    z = jnp.asarray(rng.normal(size=(1, 3, 4, 6, 16)), jnp.float32)
+    out = runner.decode(z)
+    assert out.shape == (1, 9, 32, 48, 3), out.shape

@@ -476,7 +476,7 @@ class VAERunner:
 
     def _tiled(self, x: jnp.ndarray, tile_h: int, tile_w: int, overlap_h: int,
                overlap_w: int, blend_h: int, blend_w: int, limit_h: int,
-               limit_w: int, fn) -> jnp.ndarray:
+               limit_w: int, fn, out_h: int, out_w: int) -> jnp.ndarray:
         rows = []
         for i in range(0, x.shape[2], overlap_h):
             row = []
@@ -494,7 +494,9 @@ class VAERunner:
                     tile = self._blend_h(row[j - 1], tile, blend_w)
                 result_row.append(tile[:, :, :limit_h, :limit_w])
             result_rows.append(jnp.concatenate(result_row, axis=3))
-        return jnp.concatenate(result_rows, axis=2)
+        # crop to the exact target — clipped edge tiles can over-produce
+        # (the reference crops the assembled canvas the same way, `:1248-1249`)
+        return jnp.concatenate(result_rows, axis=2)[:, :, :out_h, :out_w]
 
     def _tiled_encode(self, x: jnp.ndarray) -> jnp.ndarray:
         overlap_h = int(self.tile_sample_min_height * (1 - self.tile_overlap_factor_height))
@@ -503,10 +505,11 @@ class VAERunner:
         blend_w = int(self.tile_latent_min_width * self.tile_overlap_factor_width)
         limit_h = self.tile_latent_min_height - blend_h
         limit_w = self.tile_latent_min_width - blend_w
+        sc = self.config.spatial_compression_ratio
         return self._tiled(
             x, self.tile_sample_min_height, self.tile_sample_min_width,
             overlap_h, overlap_w, blend_h, blend_w, limit_h, limit_w,
-            self._encode_frames,
+            self._encode_frames, x.shape[2] // sc, x.shape[3] // sc,
         )
 
     def _tiled_decode(self, z: jnp.ndarray) -> jnp.ndarray:
@@ -516,8 +519,9 @@ class VAERunner:
         blend_w = int(self.tile_sample_min_width * self.tile_overlap_factor_width)
         limit_h = self.tile_sample_min_height - blend_h
         limit_w = self.tile_sample_min_width - blend_w
+        sc = self.config.spatial_compression_ratio
         return self._tiled(
             z, self.tile_latent_min_height, self.tile_latent_min_width,
             overlap_h, overlap_w, blend_h, blend_w, limit_h, limit_w,
-            self._decode_frames,
+            self._decode_frames, z.shape[2] * sc, z.shape[3] * sc,
         )
