@@ -109,3 +109,27 @@ def test_tp_axis_shard_map_matches_unsharded():
             lambda q, k, v, bias: flash_attention(q, k, v, key_bias=bias, tp_axis="model")
         )(q, k, v, bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_blocked_backward_matches_autodiff():
+    """The custom-vjp backward for the Pallas kernel (flash-style blocked XLA
+    recompute) must match autodiff through the dense reference attention."""
+    from tokensgen_tpu.kernels.attention import _blocked_attention_bwd
+
+    rng = np.random.default_rng(0)
+    b, h, sq, skv, d = 2, 3, 70, 50, 16  # non-multiples exercise q-padding
+    scale = 0.17
+    q = jnp.asarray(rng.normal(size=(b, h, sq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, skv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, skv, d)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(b, skv)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(b, h, sq, d)), jnp.float32)
+
+    out, vjp = jax.vjp(lambda q, k, v, bias: _xla_attention(q, k, v, bias, scale),
+                       q, k, v, bias)
+    dq_ref, dk_ref, dv_ref, dbias_ref = vjp(g)
+    dq, dk, dv, dbias = _blocked_attention_bwd(q, k, v, bias, out, g, scale)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dbias), np.asarray(dbias_ref), rtol=2e-4, atol=2e-4)

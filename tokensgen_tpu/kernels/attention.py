@@ -139,6 +139,75 @@ def _flash_attention_tpu(
     return out[:, :, :sq, :]
 
 
+def _blocked_attention_bwd(q, k, v, key_bias, out, g, scale):
+    """Flash-style attention backward in pure XLA: recompute p per q-block
+    inside a `lax.scan` so no [Sq, Skv] tensor for the whole sequence is ever
+    materialised. Float32 math; block size adapts to a ~500 MB logits budget.
+    Returns (dq, dk, dv, dbias)."""
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
+    gf = g.astype(jnp.float32)
+    dsum = jnp.sum(gf * out.astype(jnp.float32), axis=-1)  # [B,H,Sq]
+
+    per_row = max(1, b * h * skv * 4)
+    bq = int(5e8 // per_row)
+    bq = max(64, min(512, (bq // 64) * 64 or 64))
+    sq_p = _round_up(sq, bq)
+    pad = sq_p - sq
+    qp = jnp.pad(qf, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    gp = jnp.pad(gf, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    dp_pad = jnp.pad(dsum, ((0, 0), (0, 0), (0, pad)))
+    biasb = key_bias.astype(jnp.float32)[:, None, None, :]  # [B,1,1,Skv]
+
+    def step(carry, i):
+        dk_acc, dv_acc, dbias_acc = carry
+        qb = jax.lax.dynamic_slice_in_dim(qp, i * bq, bq, 2)
+        gb = jax.lax.dynamic_slice_in_dim(gp, i * bq, bq, 2)
+        db = jax.lax.dynamic_slice_in_dim(dp_pad, i * bq, bq, 2)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qb, kf) * scale + biasb
+        p = jax.nn.softmax(s, axis=-1)
+        # padded q rows have g == 0, so every term below vanishes for them
+        dv_acc = dv_acc + jnp.einsum("bhqk,bhqd->bhkd", p, gb)
+        dpv = jnp.einsum("bhqd,bhkd->bhqk", gb, vf)
+        ds = p * (dpv - db[..., None])
+        dq_b = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * scale
+        dk_acc = dk_acc + jnp.einsum("bhqk,bhqd->bhkd", ds, qb) * scale
+        dbias_acc = dbias_acc + jnp.sum(ds, axis=(1, 2))
+        return (dk_acc, dv_acc, dbias_acc), dq_b
+
+    init = (jnp.zeros_like(kf), jnp.zeros_like(vf),
+            jnp.zeros((b, skv), jnp.float32))
+    (dk, dv, dbias), dqs = jax.lax.scan(step, init, jnp.arange(sq_p // bq))
+    dq = jnp.moveaxis(dqs, 0, 2).reshape(b, h, sq_p, d)[:, :, :sq]
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dbias.astype(key_bias.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _flash_attention_tpu_diff(scale, block_q, block_kv, has_bias, q, k, v, key_bias):
+    """`_flash_attention_tpu` with gradients: `pallas_call` has no JVP rule, so
+    differentiating the raw kernel crashes (hit by the To2V/T2To train steps
+    whenever this kernel serves the bias path or non-lib head dims). Forward is
+    the Pallas kernel; backward is `_blocked_attention_bwd`."""
+    return _flash_attention_tpu(q, k, v, key_bias, scale, block_q, block_kv,
+                                has_bias=has_bias)
+
+
+def _flash_diff_fwd(scale, block_q, block_kv, has_bias, q, k, v, key_bias):
+    out = _flash_attention_tpu(q, k, v, key_bias, scale, block_q, block_kv,
+                               has_bias=has_bias)
+    return out, (q, k, v, key_bias, out)
+
+
+def _flash_diff_bwd(scale, block_q, block_kv, has_bias, res, g):
+    q, k, v, key_bias, out = res
+    return _blocked_attention_bwd(q, k, v, key_bias, out, g, scale)
+
+
+_flash_attention_tpu_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
 def _xla_attention(q, k, v, key_bias, scale):
     s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
     s = s * scale + key_bias[:, None, None, :]
@@ -212,8 +281,8 @@ def _dispatch(q, k, v, key_bias, scale, block_q, block_kv, has_bias):
                 pass
         block_q = min(block_q, _round_up(sq, 128))
         block_kv = min(block_kv, _round_up(k.shape[2], 128))
-        return _flash_attention_tpu(q, k, v, key_bias, scale, block_q, block_kv,
-                                    has_bias=has_bias)
+        return _flash_attention_tpu_diff(scale, block_q, block_kv, has_bias,
+                                         q, k, v, key_bias)
     return _xla_attention(q, k, v, key_bias, scale)
 
 
