@@ -73,6 +73,37 @@ def test_mira_dataset(video_dir):
     assert "start_frame_idx" in item
 
 
+def test_mira_scene_detect(video_dir, tmp_path):
+    """Scene-detect sampling: frames come only from qualifying scenes; videos
+    with no qualifying scene are skipped and resampled (`long_video.py:532-628`)."""
+    from tokensgen_tpu.data.mira import parse_scene_detect_file
+
+    # chunk 9 x 2 chunks @10fps -> min native scene length 54 frames @30fps
+    scene_file = tmp_path / "scenes.txt"
+    scene_file.write_text(
+        "1 10,100|0,5\n"   # one qualifying scene (90 frames), one too short
+        "2 0,20|40,60\n"   # nothing qualifies -> unqualified
+    )
+    scenes, unq = parse_scene_detect_file(str(scene_file), 54)
+    assert scenes == {"1": [(10, 100)]}
+    assert unq == {"2"}
+
+    ds = MiraDataset(
+        str(video_dir / "index.csv"), str(video_dir), height=32, width=48,
+        sample_fps=10.0, chunk_size=9, max_num_chunks=2, seed=0,
+        use_scene_detect=True, scene_detect_file=str(scene_file),
+    )
+    for i in range(2):  # index 1 qualifies; index 2 must be resampled to 1
+        item = ds[i]
+        assert item["video_index"] == 1
+        assert item["pixel_values"].shape == (18, 32, 48, 3)
+
+    # the sampled window lies inside the scene: native frames [10, 100)
+    grid = ds._scene_sample_idx([(10, 100)], fps=30.0, want=18)
+    assert grid.min() >= 10 and grid.max() < 100
+    assert len(grid) == 30  # 90 frames @30fps -> 3s -> 30 samples @10fps
+
+
 def test_vae_mira_dataset(video_dir, tmp_path):
     lat_dir = tmp_path / "latents" / "000000000"
     lat_dir.mkdir(parents=True)

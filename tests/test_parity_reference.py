@@ -1,0 +1,423 @@
+"""Torch-oracle parity: the reference sources are imported (via the diffusers
+shim) and used as numerical ground truth for our JAX re-implementations.
+
+Oracles:
+* `longvgen/schedulers/scheduling_dpm_cogvideox.py` — tables, set_timesteps,
+  DPM-Solver++(2M) step (deterministic + stochastic, first-order + multistep),
+  add_noise, add_noise_to_xt, get_velocity, vip_1 warp, zero-SNR rescale.
+* `longvgen/schedulers/scheduling_ddim_cogvideox.py` — DDIM step.
+* `longvgen/models/embeddings.py` — get_3d_rotary_pos_embed[_v2],
+  get_1d_rotary_pos_embed, apply_rotary_emb, get_3d_sincos_pos_embed[_v2].
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import _diffusers_shim as shim
+import jax.numpy as jnp
+
+from tokensgen_tpu.core import rope as R
+from tokensgen_tpu.core import schedule as S
+
+ref_dpm = shim.load_reference_module(
+    "longvgen/schedulers/scheduling_dpm_cogvideox.py", "ref_dpm")
+ref_ddim = shim.load_reference_module(
+    "longvgen/schedulers/scheduling_ddim_cogvideox.py", "ref_ddim")
+ref_emb = shim.load_reference_module(
+    "longvgen/models/embeddings.py", "ref_embeddings")
+
+
+# ---------------------------------------------------------------------------
+# schedule configurations under test
+# ---------------------------------------------------------------------------
+
+CONFIGS = {
+    "to2v_vpred": dict(prediction_type="v_prediction", rescale_betas_zero_snr=True,
+                       snr_shift_scale=3.0, timestep_spacing="trailing"),
+    "eps_noshift": dict(prediction_type="epsilon", rescale_betas_zero_snr=False,
+                        snr_shift_scale=1.0, timestep_spacing="leading"),
+    "vip1_t2to": dict(prediction_type="v_prediction", beta_schedule="vip_1",
+                      rescale_betas_zero_snr=False, snr_shift_scale=3.0,
+                      timestep_spacing="trailing"),
+}
+
+
+def make_pair(name, scheduler_cls):
+    kw = CONFIGS[name]
+    ours = S.make_schedule(S.ScheduleConfig(**kw))
+    theirs = scheduler_cls(**kw)
+    return ours, theirs
+
+
+@pytest.mark.parametrize("name", list(CONFIGS))
+def test_schedule_tables(name):
+    ours, theirs = make_pair(name, ref_dpm.CogVideoXDPMScheduler)
+    np.testing.assert_allclose(
+        np.asarray(ours.betas), theirs.betas.numpy(), atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(ours.alphas_cumprod),
+        theirs.alphas_cumprod.to(torch.float64).numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        float(ours.final_alpha_cumprod), float(theirs.final_alpha_cumprod), atol=1e-7)
+
+
+@pytest.mark.parametrize("spacing", ["trailing", "leading", "linspace"])
+@pytest.mark.parametrize("n", [8, 50])
+def test_inference_timesteps(spacing, n):
+    cfg = S.ScheduleConfig(timestep_spacing=spacing)
+    theirs = ref_dpm.CogVideoXDPMScheduler(timestep_spacing=spacing)
+    theirs.set_timesteps(n)
+    np.testing.assert_array_equal(
+        S.inference_timesteps(cfg, n), theirs.timesteps.numpy())
+
+
+# ---------------------------------------------------------------------------
+# DPM step
+# ---------------------------------------------------------------------------
+
+
+def _rand(shape, seed):
+    return np.random.default_rng(seed).normal(size=shape).astype(np.float32)
+
+
+@pytest.mark.parametrize("name", ["to2v_vpred", "eps_noshift"])
+@pytest.mark.parametrize("t,prev_t", [(999, 979), (500, 480), (19, -1)])
+def test_dpm_step_first_order(name, t, prev_t):
+    ours, theirs = make_pair(name, ref_dpm.CogVideoXDPMScheduler)
+    theirs.set_timesteps(50)
+    x = _rand((2, 3, 4, 4), 0)
+    mo = _rand((2, 3, 4, 4), 1)
+    n1 = _rand((2, 3, 4, 4), 2)
+
+    shim.NOISE_QUEUE.append(torch.from_numpy(n1))
+    ref_prev, ref_x0 = theirs.step(
+        torch.from_numpy(mo), None, t, prev_t, None, torch.from_numpy(x))
+    assert not shim.NOISE_QUEUE
+
+    got_prev, got_x0 = S.dpm_step(
+        ours, jnp.asarray(mo), jnp.asarray(x),
+        jnp.asarray(t), jnp.asarray(prev_t), noise=jnp.asarray(n1))
+    np.testing.assert_allclose(np.asarray(got_x0), ref_x0.numpy(), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got_prev), ref_prev.numpy(), atol=3e-5)
+
+
+@pytest.mark.parametrize("name", ["to2v_vpred", "vip1_t2to"])
+def test_dpm_step_multistep(name):
+    t, prev_t, t_back = 500, 480, 520
+    ours, theirs = make_pair(name, ref_dpm.CogVideoXDPMScheduler)
+    theirs.set_timesteps(50)
+    x = _rand((2, 3, 4, 4), 3)
+    mo = _rand((2, 3, 4, 4), 4)
+    old_x0 = _rand((2, 3, 4, 4), 5)
+    n1, n2 = _rand((2, 3, 4, 4), 6), _rand((2, 3, 4, 4), 7)
+
+    shim.NOISE_QUEUE.extend([torch.from_numpy(n1), torch.from_numpy(n2)])
+    ref_prev, ref_x0 = theirs.step(
+        torch.from_numpy(mo), torch.from_numpy(old_x0), t, prev_t, t_back,
+        torch.from_numpy(x))
+    assert not shim.NOISE_QUEUE
+
+    got_prev, got_x0 = S.dpm_step(
+        ours, jnp.asarray(mo), jnp.asarray(x),
+        jnp.asarray(t), jnp.asarray(prev_t), t_back=jnp.asarray(t_back),
+        old_pred_original_sample=jnp.asarray(old_x0),
+        noise=jnp.asarray(n1), noise2=jnp.asarray(n2))
+    np.testing.assert_allclose(np.asarray(got_x0), ref_x0.numpy(), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got_prev), ref_prev.numpy(), atol=3e-5)
+
+
+def test_dpm_step_multistep_early_out():
+    """prev_t < 0 must fall back to the first-order update even with history."""
+    ours, theirs = make_pair("to2v_vpred", ref_dpm.CogVideoXDPMScheduler)
+    theirs.set_timesteps(50)
+    x, mo, old_x0 = _rand((1, 2, 2, 2), 8), _rand((1, 2, 2, 2), 9), _rand((1, 2, 2, 2), 10)
+    ref_prev, _ = theirs.step(
+        torch.from_numpy(mo), torch.from_numpy(old_x0), 19, -1, 39,
+        torch.from_numpy(x))
+    got_prev, _ = S.dpm_step(
+        ours, jnp.asarray(mo), jnp.asarray(x), jnp.asarray(19), jnp.asarray(-1),
+        t_back=jnp.asarray(39), old_pred_original_sample=jnp.asarray(old_x0))
+    np.testing.assert_allclose(np.asarray(got_prev), ref_prev.numpy(), atol=3e-5)
+
+
+@pytest.mark.parametrize("name", ["to2v_vpred", "eps_noshift"])
+@pytest.mark.parametrize("t,prev_t", [(999, 979), (500, 480), (19, -1)])
+def test_ddim_step(name, t, prev_t):
+    ours, _ = make_pair(name, ref_dpm.CogVideoXDPMScheduler)
+    theirs = ref_ddim.CogVideoXDDIMScheduler(**CONFIGS[name])
+    theirs.set_timesteps(50)
+    x, mo = _rand((2, 3, 4, 4), 11), _rand((2, 3, 4, 4), 12)
+    ref_prev, ref_x0 = theirs.step(
+        torch.from_numpy(mo), t, prev_t, torch.from_numpy(x), return_dict=False)
+    got_prev, got_x0 = S.ddim_step(
+        ours, jnp.asarray(mo), jnp.asarray(x), jnp.asarray(t), jnp.asarray(prev_t))
+    np.testing.assert_allclose(np.asarray(got_x0), ref_x0.numpy(), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got_prev), ref_prev.numpy(), atol=3e-5)
+
+
+@pytest.mark.parametrize("name", list(CONFIGS))
+def test_forward_process_utils(name):
+    ours, theirs = make_pair(name, ref_dpm.CogVideoXDPMScheduler)
+    x = _rand((4, 3, 2, 2), 13)
+    n = _rand((4, 3, 2, 2), 14)
+    ts = np.array([0, 250, 700, 999])
+
+    ref = theirs.add_noise(torch.from_numpy(x), torch.from_numpy(n), torch.from_numpy(ts))
+    got = S.add_noise(ours, jnp.asarray(x), jnp.asarray(n), jnp.asarray(ts))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=3e-5)
+
+    ref = theirs.add_noise_to_xt(torch.from_numpy(x), torch.from_numpy(n), torch.from_numpy(ts))
+    got = S.add_noise_to_xt(ours, jnp.asarray(x), jnp.asarray(n), jnp.asarray(ts))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=3e-5)
+
+    ref = theirs.get_velocity(torch.from_numpy(x), torch.from_numpy(n), torch.from_numpy(ts))
+    got = S.get_velocity(ours, jnp.asarray(x), jnp.asarray(n), jnp.asarray(ts))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# rotary / sincos embeddings
+# ---------------------------------------------------------------------------
+
+
+def test_1d_rotary_parity():
+    pos = np.arange(17, dtype=np.float32) * 0.5
+    ref_cos, ref_sin = ref_emb.get_1d_rotary_pos_embed(32, pos, use_real=True)
+    got_cos, got_sin = R.get_1d_rotary_pos_embed(32, pos)
+    np.testing.assert_allclose(got_cos, ref_cos.numpy(), atol=1e-6)
+    np.testing.assert_allclose(got_sin, ref_sin.numpy(), atol=1e-6)
+
+
+def test_3d_rotary_parity():
+    crops = [[2, 1, 0], [7, 13, 21]]
+    grid = (5, 6, 7)
+    ref_cos, ref_sin = ref_emb.get_3d_rotary_pos_embed(64, crops, grid)
+    got_cos, got_sin = R.get_3d_rotary_pos_embed(64, crops, grid)
+    np.testing.assert_allclose(np.asarray(got_cos), ref_cos.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_sin), ref_sin.numpy(), atol=1e-6)
+
+
+@pytest.mark.parametrize("dims", [(None, None, None), (52, 6, 6)])
+def test_3d_rotary_v2_parity(dims):
+    gt = np.arange(5, dtype=np.float32) + 1000
+    gh = np.arange(8, dtype=np.float32)
+    gw = np.arange(12, dtype=np.float32)
+    ref_cos, ref_sin = ref_emb.get_3d_rotary_pos_embed_v2(
+        64, torch.from_numpy(gt), torch.from_numpy(gh), torch.from_numpy(gw),
+        dim_t=dims[0], dim_h=dims[1], dim_w=dims[2])
+    got_cos, got_sin = R.get_3d_rotary_pos_embed_v2(
+        64, gt, gh, gw, dim_t=dims[0], dim_h=dims[1], dim_w=dims[2])
+    # numpy vs torch f32 libm cos/sin diverge ~1.5e-5 at angles ~1000 rad
+    np.testing.assert_allclose(np.asarray(got_cos), ref_cos.numpy(), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(got_sin), ref_sin.numpy(), atol=5e-5)
+    # the traced-grid variant used inside the FIFO scan must agree too
+    got_cos_j, got_sin_j = R.get_3d_rotary_pos_embed_v2_jnp(
+        64, jnp.asarray(gt), jnp.asarray(gh), jnp.asarray(gw),
+        dim_t=dims[0], dim_h=dims[1], dim_w=dims[2])
+    # XLA's f32 cos/sin differs from numpy's by ~1.5e-5 at positions ~1000
+    np.testing.assert_allclose(np.asarray(got_cos_j), ref_cos.numpy(), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(got_sin_j), ref_sin.numpy(), atol=5e-5)
+
+
+def test_apply_rotary_emb_parity():
+    x = _rand((2, 4, 30, 64), 15)  # [B, H, S, D]
+    gt = np.arange(5, dtype=np.float32)
+    cos, sin = ref_emb.get_3d_rotary_pos_embed_v2(
+        64, torch.from_numpy(gt), torch.arange(2).float(), torch.arange(3).float())
+    ref = ref_emb.apply_rotary_emb(torch.from_numpy(x), (cos, sin))
+    got = R.apply_rotary_emb(
+        jnp.asarray(x), (jnp.asarray(cos.numpy()), jnp.asarray(sin.numpy())))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=1e-5)
+
+
+def test_3d_sincos_parity():
+    ref = ref_emb.get_3d_sincos_pos_embed(64, (12, 8), 5, 1.5, 2.0)
+    got = R.get_3d_sincos_pos_embed(64, (12, 8), 5, 1.5, 2.0)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_3d_sincos_v2_parity():
+    gh = np.arange(8, dtype=np.float32) * 0.5
+    gw = np.arange(12, dtype=np.float32) * 0.25
+    gt = np.arange(5, dtype=np.float32) + 3.0
+    ref = ref_emb.get_3d_sincos_pos_embed_v2(64, gh, gw, gt)
+    got = R.get_3d_sincos_pos_embed_v2(64, gh, gw, gt)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Resampler forward parity through the weight converter
+# ---------------------------------------------------------------------------
+
+
+def test_resampler_forward_parity():
+    """Randomly-initialised reference torch Resampler -> convert_resampler ->
+    our flax Resampler: forwards must agree. Exercises the converter on a REAL
+    torch state dict (layout from `video_ipadapter/resampler.py:132-208`)."""
+    shim.install_longvgen_alias()
+    ref_res = shim.load_reference_module(
+        "longvgen/video_ipadapter/resampler.py", "ref_resampler")
+
+    from tokensgen_tpu.convert.torch_weights import convert_resampler
+    from tokensgen_tpu.models.resampler import Resampler, ResamplerConfig
+
+    torch.manual_seed(0)
+    tm = ref_res.Resampler(
+        dim=32, depth=2, dim_head=16, heads=2,
+        num_height_queries=2, num_width_queries=3, num_temporal_queries=2,
+        embedding_dim=16, output_dim=24).eval()
+
+    cfg = ResamplerConfig.tiny()  # same dims
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_resampler(sd, depth=cfg.depth)
+
+    b, f, n = 2, 3, 4  # n = 2x2 spatial grid per frame
+    x = _rand((b, f, n, cfg.embedding_dim), 20)
+    img_rope = ref_emb.get_3d_rotary_pos_embed_v2(
+        cfg.dim_head, torch.arange(f).float(), torch.arange(2).float(),
+        torch.arange(2).float())
+    smp_rope = ref_emb.get_3d_rotary_pos_embed_v2(
+        cfg.dim_head, torch.arange(2).float() + 1000, torch.arange(2).float(),
+        torch.arange(3).float())
+
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x), image_rotary_emb=img_rope,
+                     sampling_rotary_emb=smp_rope)
+
+    to_jnp = lambda t: (jnp.asarray(t[0].numpy()), jnp.asarray(t[1].numpy()))
+    got = Resampler(cfg).apply(
+        {"params": params}, jnp.asarray(x),
+        image_rotary_emb=to_jnp(img_rope), sampling_rotary_emb=to_jnp(smp_rope))
+    np.testing.assert_allclose(np.asarray(got), ref_out.numpy(), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Full DiT forward parity through the weight converter
+# ---------------------------------------------------------------------------
+
+
+def _ref_tiny_transformer(ref_tx, vip=False):
+    torch.manual_seed(0)
+    tm = ref_tx.CogVideoXTransformer3DModel(
+        num_attention_heads=2, attention_head_dim=16, in_channels=16,
+        out_channels=16, time_embed_dim=32, text_embed_dim=24, num_layers=2,
+        sample_width=16, sample_height=8, max_text_seq_length=8,
+        use_rotary_positional_embeddings=True).eval()
+    if vip:
+        tm.set_vip_layers(
+            length=12, func_type="1", scale=[1.0, 1.0],
+            resampler_params=dict(output_dim=24, num_height_queries=2,
+                                  num_width_queries=3, num_temporal_queries=2))
+    return tm
+
+
+def _rope_tuple(dim, gt, gh, gw):
+    cos, sin = ref_emb.get_3d_rotary_pos_embed_v2(
+        dim, torch.as_tensor(gt).float(), torch.as_tensor(gh).float(),
+        torch.as_tensor(gw).float())
+    return cos, sin
+
+
+def _jnp_rope(t):
+    return (jnp.asarray(t[0].numpy()), jnp.asarray(t[1].numpy()))
+
+
+@pytest.mark.parametrize("per_frame_t", [False, True])
+def test_dit_forward_parity(per_frame_t):
+    """Randomly-initialised reference CogVideoXTransformer3DModel ->
+    convert_dit -> our CogVideoXTransformer: forwards must agree
+    (`cogvideox_transformer_3d.py:392-770`)."""
+    ref_tx = shim.load_reference_transformer()
+
+    from tokensgen_tpu.convert.torch_weights import convert_dit
+    from tokensgen_tpu.models.dit import CogVideoXTransformer, DiTConfig
+
+    tm = _ref_tiny_transformer(ref_tx)
+    cfg = DiTConfig.tiny()
+    params = convert_dit({k: v.numpy() for k, v in tm.state_dict().items()}, cfg)
+
+    b, f, h, w = 2, 2, cfg.sample_height, cfg.sample_width
+    x = _rand((b, f, 16, h, w), 30)
+    text = _rand((b, cfg.max_text_seq_length, cfg.text_embed_dim), 31)
+    if per_frame_t:
+        t_np = np.array([[10, 900], [250, 500]], dtype=np.int64)
+    else:
+        t_np = np.array([10, 900], dtype=np.int64)
+    rope = _rope_tuple(cfg.attention_head_dim, np.arange(f),
+                       np.arange(h // 2), np.arange(w // 2))
+
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x), torch.from_numpy(text),
+                     torch.from_numpy(t_np), image_rotary_emb=rope,
+                     return_dict=False)[0]
+
+    got = CogVideoXTransformer(cfg).apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(text), jnp.asarray(t_np),
+        image_rotary_emb=_jnp_rope(rope))
+    np.testing.assert_allclose(np.asarray(got), ref_out.numpy(), atol=2e-4)
+
+
+def test_dit_forward_parity_vip():
+    """Same, with the VIP conditioning branch grafted (func_type "1")."""
+    ref_tx = shim.load_reference_transformer()
+
+    from tokensgen_tpu.convert.torch_weights import convert_dit
+    from tokensgen_tpu.models.dit import CogVideoXTransformer, DiTConfig, VIPConfig
+
+    tm = _ref_tiny_transformer(ref_tx, vip=True)
+    vc = VIPConfig(length=12, output_dim=24, num_temporal_queries=2,
+                   num_height_queries=2, num_width_queries=3)
+    cfg = DiTConfig.tiny(vip=vc)
+    params = convert_dit({k: v.numpy() for k, v in tm.state_dict().items()}, cfg)
+
+    b, f, h, w = 2, 2, cfg.sample_height, cfg.sample_width
+    x = _rand((b, f, 16, h, w), 32)
+    text = _rand((b, cfg.max_text_seq_length, cfg.text_embed_dim), 33)
+    vip_tokens = _rand((b, 2, 24, 2, 3), 34)  # [B, Tq, Cv, Hq, Wq]
+    t_np = np.array([10, 900], dtype=np.int64)
+    d = cfg.attention_head_dim
+    rope = _rope_tuple(d, np.arange(f), np.arange(h // 2), np.arange(w // 2))
+    vip_img_rope = _rope_tuple(d, np.arange(f) + 1000, np.arange(h // 2), np.arange(w // 2))
+    vip_cond_rope = _rope_tuple(d, np.arange(2) + 1000, np.arange(2), np.arange(3))
+
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x), torch.from_numpy(text),
+                     torch.from_numpy(t_np),
+                     vip_encoder_hidden_states=torch.from_numpy(vip_tokens),
+                     image_rotary_emb=rope,
+                     vip_image_rotary_emb=vip_img_rope,
+                     vip_condition_rotary_emb=vip_cond_rope,
+                     return_dict=False)[0]
+
+    got = CogVideoXTransformer(cfg).apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(text), jnp.asarray(t_np),
+        vip_hidden_states=jnp.asarray(vip_tokens),
+        image_rotary_emb=_jnp_rope(rope),
+        vip_image_rotary_emb=_jnp_rope(vip_img_rope),
+        vip_condition_rotary_emb=_jnp_rope(vip_cond_rope))
+    np.testing.assert_allclose(np.asarray(got), ref_out.numpy(), atol=2e-4)
+
+
+def test_resampler_forward_parity_no_rope():
+    shim.install_longvgen_alias()
+    ref_res = shim.load_reference_module(
+        "longvgen/video_ipadapter/resampler.py", "ref_resampler")
+
+    from tokensgen_tpu.convert.torch_weights import convert_resampler
+    from tokensgen_tpu.models.resampler import Resampler, ResamplerConfig
+
+    torch.manual_seed(1)
+    tm = ref_res.Resampler(
+        dim=32, depth=2, dim_head=16, heads=2,
+        num_height_queries=2, num_width_queries=3, num_temporal_queries=2,
+        embedding_dim=16, output_dim=24).eval()
+    cfg = ResamplerConfig.tiny()
+    params = convert_resampler(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, depth=cfg.depth)
+
+    x = _rand((1, 2, 4, cfg.embedding_dim), 21)
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x))
+    got = Resampler(cfg).apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), ref_out.numpy(), atol=1e-4)

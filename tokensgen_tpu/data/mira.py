@@ -39,6 +39,34 @@ def mira_video_path(video_dir: str, index: int) -> str:
     return os.path.join(video_dir, f"{index // 1000:09d}", f"{index}.mp4")
 
 
+def parse_scene_detect_file(path: str, min_native_frames: float):
+    """Parse a scene-detect file (`long_video.py:532-553`).
+
+    Each line is ``<video_name> <start,end>|<start,end>|...`` in native frame
+    units. Scenes shorter than ``min_native_frames`` are dropped; videos with no
+    qualifying scene land on the unqualified list (skipped + resampled at
+    ``__getitem__``). Returns ``(scenes: {name: [(start, end), ...]},
+    unqualified: set[str])``.
+    """
+    scenes: Dict[str, List[Tuple[int, int]]] = {}
+    unqualified = set()
+    with open(path, "r") as f:
+        for line in f:
+            parts = line.split(" ")
+            if len(parts) > 1 and len(parts[1].strip()) != 0:
+                name, segs = parts[0], parts[1]
+                qualified = []
+                for seg in segs.strip().split("|"):
+                    start, end = seg.split(",")
+                    if int(end) - int(start) > min_native_frames:
+                        qualified.append((int(start), int(end)))
+                if qualified:
+                    scenes[name] = qualified
+                else:
+                    unqualified.add(name)
+    return scenes, unqualified
+
+
 class MiraDataset:
     def __init__(
         self,
@@ -56,6 +84,8 @@ class MiraDataset:
         t_drop_rate: float = 0.05,
         ti_drop_rate: float = 0.05,
         use_frames_padding: bool = False,
+        use_scene_detect: bool = False,
+        scene_detect_file: Optional[str] = None,
         seed: Optional[int] = None,
     ):
         self.video_dir = video_dir
@@ -78,18 +108,55 @@ class MiraDataset:
             df = df.iloc[lo:hi]
         self.df = df.reset_index(drop=True)
 
+        self.use_scene_detect = use_scene_detect
+        self.scene_detect: Dict[str, List[Tuple[int, int]]] = {}
+        self.unqualified_videos: set = set()
+        if use_scene_detect:
+            # qualification threshold in native frames, assuming ~30 fps source
+            # (`long_video.py:543`)
+            min_native = self.max_num_chunks * self.chunk_size / self.sample_fps * 30
+            self.scene_detect, self.unqualified_videos = parse_scene_detect_file(
+                scene_detect_file, min_native)
+
     def __len__(self) -> int:
         return len(self.df)
 
+    def _scene_sample_idx(self, scenes, fps: float, want: int) -> np.ndarray:
+        """Pick one qualifying scene (probability ∝ its count of valid window
+        starts) and return its fps-resampled native-frame index grid
+        (`long_video.py:606-628`)."""
+        grids, n_starts = [], []
+        for start_f, end_f in scenes:
+            num_f = int((end_f - start_f) / fps * self.sample_fps)
+            grid = np.linspace(start_f, end_f, num_f, endpoint=False).astype(np.int64)
+            assert len(grid) >= want, (len(grid), want)
+            grids.append(grid)
+            n_starts.append(num_f - want + 1)
+        cum = np.cumsum([0] + n_starts, dtype=np.float64)
+        cum /= max(1.0, cum[-1])
+        pick = 0
+        if self.random_sample:
+            pick = int(np.searchsorted(cum, self.rng.random(), side="right")) - 1
+        return grids[pick]
+
     def __getitem__(self, i: int) -> Dict:
+        # unqualified (scene-detect) videos are skipped: resample a random row
+        # (`long_video.py:571-580`)
+        while self.use_scene_detect and str(self.df.iloc[i]["index"]) in self.unqualified_videos:
+            i = self.rng.randint(0, len(self.df) - 1)
         row = self.df.iloc[i]
         path = mira_video_path(self.video_dir, int(row["index"]))
         n, fps = video_metadata(path)
-        num_f = int(n / fps * self.sample_fps)
-        sample_idx = np.linspace(0, n, num_f, endpoint=False).astype(np.int64)
+        want = self.chunk_size * self.max_num_chunks
+
+        scenes = self.scene_detect.get(str(row["index"])) if self.use_scene_detect else None
+        if scenes:
+            sample_idx = self._scene_sample_idx(scenes, fps, want)
+        else:
+            num_f = int(n / fps * self.sample_fps)
+            sample_idx = np.linspace(0, n, num_f, endpoint=False).astype(np.int64)
 
         start_idx = 0
-        want = self.chunk_size * self.max_num_chunks
         if self.random_sample and len(sample_idx) > want:
             start_idx = self.rng.randint(0, len(sample_idx) - want)
             sample_idx = sample_idx[start_idx:]

@@ -108,10 +108,11 @@ def perceptual_distance(
     b: np.ndarray,
     feature_fn: Optional[Callable[[np.ndarray], list]] = None,
 ) -> float:
-    """LPIPS-style distance: mean squared distance between unit-normalised deep
-    features. ``feature_fn`` maps [H, W, 3] -> list of [h, w, c] feature maps;
-    when None a fixed random-projection pyramid is used (weights-free stand-in —
-    a trained VGG/LPIPS checkpoint can be plugged in via `convert/`)."""
+    """Weights-free perceptual PROXY (random-projection feature pyramid) — NOT
+    comparable to published LPIPS numbers. For true LPIPS use
+    `metrics.lpips.lpips_video` with converted VGG16 + lin-head weights
+    (`metrics/lpips.py`; reference `longvgen/metrics/lpips.py:1-47`).
+    ``feature_fn`` maps [H, W, 3] -> list of [h, w, c] feature maps."""
     if feature_fn is None:
         feature_fn = _random_pyramid_features
     fa, fb = feature_fn(a), feature_fn(b)
@@ -137,16 +138,24 @@ def _random_pyramid_features(img: np.ndarray, levels: int = 3, dim: int = 32):
     return feats
 
 
-def evaluate_video(pred: np.ndarray, target: np.ndarray) -> Dict[str, float]:
-    """Per-video metric dict; frames averaged."""
+def evaluate_video(pred: np.ndarray, target: np.ndarray,
+                   lpips_params=None) -> Dict[str, float]:
+    """Per-video metric dict; frames averaged. Videos are [F, H, W, 3] in [0, 1].
+    Pass converted LPIPS weights (`metrics.lpips.load_lpips_params`) to add a
+    true "lpips" entry."""
     f = min(pred.shape[0], target.shape[0])
     ps, ss, de = [], [], []
     for i in range(f):
         ps.append(psnr(pred[i], target[i]))
         ss.append(ssim(pred[i], target[i]))
         de.append(delta_e_ab(pred[i], target[i]))
-    return {
+    out = {
         "psnr": float(np.mean(ps)),
         "ssim": float(np.mean(ss)),
         "delta_e": float(np.mean(de)),
     }
+    if lpips_params is not None:
+        from tokensgen_tpu.metrics.lpips import lpips_video
+
+        out["lpips"] = lpips_video(lpips_params, pred[:f], target[:f])
+    return out

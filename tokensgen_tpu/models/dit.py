@@ -532,7 +532,6 @@ class CogVideoXTransformer(nn.Module):
         if not cfg.use_rotary_positional_embeddings:
             hidden = LayerNorm(name="norm_final")(video)
         else:
-            seq = [text, video] if vip is None else [text, vip, video]
             # reference concatenates [text(+vip)] then video and takes the tail
             joint = jnp.concatenate([text] + ([vip] if vip is not None else []) + [video], axis=1)
             joint = LayerNorm(name="norm_final")(joint)

@@ -93,13 +93,27 @@ class CachedTextEncoder:
 
 
 def make_text_encoder(model_dir: Optional[str], max_length: int = 226,
-                      embed_dim: int = 4096):
-    """T5 when a checkpoint dir exists, hash fallback otherwise — cached."""
+                      embed_dim: int = 4096, allow_hash_fallback: bool = False):
+    """T5 when a checkpoint dir is given, hash encoder otherwise — cached.
+
+    A configured ``model_dir`` that fails to load (missing/corrupt weights or
+    tokenizer) RAISES rather than silently degrading to hash pseudo-embeddings —
+    a typo'd weights path must not "succeed" with garbage conditioning. Smoke
+    tests opt into the degradation with ``allow_hash_fallback=True``.
+    """
     import os
 
-    if model_dir and os.path.isdir(model_dir):
+    if model_dir:
         try:
+            if not os.path.isdir(model_dir):
+                raise FileNotFoundError(f"text encoder dir not found: {model_dir}")
             return CachedTextEncoder(T5TextEncoder.from_pretrained(model_dir, max_length))
         except Exception as e:  # missing tokenizer/weights
+            if not allow_hash_fallback:
+                raise RuntimeError(
+                    f"failed to load T5 text encoder from {model_dir!r}: {e}. "
+                    "Pass allow_hash_fallback=True (or leave model_dir unset) to "
+                    "run with deterministic hash pseudo-embeddings."
+                ) from e
             print(f"T5 load failed ({e}); falling back to hash text encoder")
     return CachedTextEncoder(HashTextEncoder(max_length, embed_dim))

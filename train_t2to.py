@@ -128,6 +128,7 @@ def main():
     text_encoder = make_text_encoder(
         cfg.get("pretrained_text_encoder_path"),
         dcfg.max_text_seq_length, dcfg.text_embed_dim,
+        allow_hash_fallback=args.smoke,
     )
 
     if args.smoke or not cfg.get_path("train_data_params.csv_file"):

@@ -161,6 +161,8 @@ def main():
             height=height, width=width,
             sample_fps=cfg.get_path("train_data_params.sample_fps", 10),
             chunk_size=nf_px, max_num_chunks=max_chunks,
+            use_scene_detect=bool(cfg.get_path("train_data_params.use_scene_detect", False)),
+            scene_detect_file=cfg.get_path("train_data_params.scene_detect_file"),
             seed=cfg.get("seed", 42),
         )
 
@@ -177,6 +179,7 @@ def main():
     text_embeds_for = make_text_encoder(
         cfg.get("pretrained_text_encoder_path"),
         dcfg.max_text_seq_length, dcfg.text_embed_dim,
+        allow_hash_fallback=args.smoke,
     )
 
     # validation items: held-out CSV with fixed indices
@@ -229,7 +232,13 @@ def main():
         vid = np.asarray(out["video"][0])
         write_video(os.path.join(run_dir, f"val_step{step}.mp4"), vid, fps=10)
         src = (np.asarray(frames[0, : vid.shape[0]]) + 1) / 2
-        m = evaluate_video((vid + 1) / 2, src)
+        lpips_params = None
+        if cfg.get("lpips_vgg_path") and cfg.get("lpips_lins_path"):
+            from tokensgen_tpu.metrics.lpips import load_lpips_params
+
+            lpips_params = load_lpips_params(
+                cfg.get("lpips_vgg_path"), cfg.get("lpips_lins_path"))
+        m = evaluate_video((vid + 1) / 2, src, lpips_params=lpips_params)
         for k, v in m.items():
             tb.scalar(f"val/{k}", v, step)
         print(f"validation step {step}: {m}", flush=True)
