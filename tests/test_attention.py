@@ -66,25 +66,31 @@ def test_pallas_kernel_interpret_mode():
     from jax.experimental.pallas import tpu as pltpu
 
     block_q, block_kv = 128, 256
-    grid = (b, h, sq // block_q, skv // block_kv)
+    hblk = 2  # two heads per grid step (the production configuration)
+    grid = (b, h // hblk, sq // block_q, skv // block_kv)
+    # the wrapper's pre-processing: fold scale*log2e into q, transpose k,
+    # pre-scale the bias into the exp2 domain
+    q_in = q * (scale * A._LOG2E)
+    kt = k.transpose(0, 1, 3, 2)
+    bias_in = bias * A._LOG2E
     out = pl.pallas_call(
-        functools.partial(A._flash_kernel, scale=scale, has_bias=True),
+        functools.partial(A._flash_kernel, hblk=hblk, has_bias=True),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
-            pl.BlockSpec((1, 1, block_kv, d), lambda b_, h_, i, j: (b_, h_, j, 0)),
-            pl.BlockSpec((1, 1, block_kv, d), lambda b_, h_, i, j: (b_, h_, j, 0)),
+            pl.BlockSpec((1, hblk, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
+            pl.BlockSpec((1, hblk, d, block_kv), lambda b_, h_, i, j: (b_, h_, 0, j)),
+            pl.BlockSpec((1, hblk, block_kv, d), lambda b_, h_, i, j: (b_, h_, j, 0)),
             pl.BlockSpec((1, 1, block_kv), lambda b_, h_, i, j: (b_, 0, j)),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
+        out_specs=pl.BlockSpec((1, hblk, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, A._LANES), jnp.float32),
-            pltpu.VMEM((block_q, A._LANES), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((hblk * block_q, A._LANES), jnp.float32),
+            pltpu.VMEM((hblk * block_q, A._LANES), jnp.float32),
+            pltpu.VMEM((hblk * block_q, d), jnp.float32),
         ],
         interpret=True,
-    )(q, k, v, bias)
+    )(q_in, kt, v, bias_in)
     ref = A._xla_attention(q, k, v, bias[:, 0, :], scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
 

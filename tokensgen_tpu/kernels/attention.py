@@ -42,12 +42,17 @@ _LOG2E = 1.4426950408889634
 
 def _flash_kernel(
     q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr, *,
-    scale: float, has_bias: bool
+    hblk: int, has_bias: bool
 ):
-    # q_ref: [1, 1, Bq, D]; k_ref/v_ref: [1, 1, Bk, D]; bias_ref: [1, 1, Bk]
-    # scratch: m/l [Bq, LANES] f32, acc [Bq, D] f32 — persist across kv steps.
-    # softmax runs in the exp2 domain (scores pre-scaled by log2 e): exp2 is
-    # cheaper on the VPU and the math is identical.
+    # q_ref: [1, hblk, Bq, D] (pre-scaled by scale*log2e outside);
+    # k_ref: [1, hblk, D, Bk] (pre-transposed — measured faster than [Bk, D]);
+    # v_ref: [1, hblk, Bk, D]; bias_ref: [1, 1, Bk] (pre-scaled by log2e).
+    # Scratch rows interleave the hblk heads ([h + hblk*row] striding) so each
+    # head's slice is a strided VMEM view. softmax runs in the exp2 domain.
+    #
+    # hblk=2 processes two heads per grid step: their chains are independent, so
+    # the scheduler overlaps head B's MXU matmuls with head A's VPU softmax
+    # (~10% faster than hblk=1 at the 18k joint shape).
     j = pl.program_id(3)
     num_kv = pl.num_programs(3)
 
@@ -57,33 +62,33 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, 0]  # [Bq, D] (bf16 feeds the MXU; f32 accumulate below)
-    k = k_ref[0, 0]
+    bias = bias_ref[0, 0][None, :] if has_bias else None
+    scores = []
+    for hh in range(hblk):  # issue all MXU score matmuls first (ILP)
+        s = jax.lax.dot_general(
+            q_ref[0, hh], k_ref[0, hh], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Bq, Bk], log2-domain (q pre-scaled)
+        scores.append(s + bias if has_bias else s)
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * (scale * _LOG2E)  # [Bq, Bk], log2-domain
-    if has_bias:
-        s = s + bias_ref[0, 0][None, :] * _LOG2E
-
-    m_prev = m_scr[:, :1]  # [Bq, 1]
-    l_prev = l_scr[:, :1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp2(s - m_new)
-    alpha = jnp.exp2(m_prev - m_new)
-    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-    # p in bf16 for the MXU (f32xf32 runs at half rate); accumulation stays f32
-    acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0, 0],
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )
-    m_scr[:, :1] = m_new  # only lane 0 is ever read back
-    l_scr[:, :1] = l_new
+    for hh, s in enumerate(scores):
+        m_prev = m_scr[hh::hblk, :1]  # [Bq, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
+        l_scr[hh::hblk, :1] = alpha * l_scr[hh::hblk, :1] + jnp.sum(
+            p, axis=-1, keepdims=True)
+        # p in bf16 for the MXU (f32xf32 runs at half rate); accumulation f32
+        acc_scr[hh::hblk] = alpha * acc_scr[hh::hblk] + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, hh],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        m_scr[hh::hblk, :1] = m_new  # only lane 0 is ever read back
 
     @pl.when(j == num_kv - 1)
     def _finalize():
-        o_ref[0, 0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+        for hh in range(hblk):
+            o_ref[0, hh] = (acc_scr[hh::hblk] / l_scr[hh::hblk, :1]).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -106,36 +111,41 @@ def _flash_attention_tpu(
     sq_p = _round_up(sq, block_q)
     skv_p = _round_up(skv, block_kv)
     has_bias = has_bias or skv_p != skv  # padding mask rides the bias path
+    hblk = 2 if h % 2 == 0 else 1
 
+    # fold scale and the exp2-domain conversion into q / bias (saves a full
+    # VPU pass over every [Bq, Bk] score tile)
+    q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
     q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
     k = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
     v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    kt = k.transpose(0, 1, 3, 2)  # [B, H, D, Skv]
     key_bias = jnp.pad(key_bias, ((0, 0), (0, skv_p - skv)), constant_values=_NEG_INF)
-    key_bias = key_bias[:, None, :]  # [B, 1, Skv] so trailing block dims are legal
+    key_bias = key_bias[:, None, :] * _LOG2E  # [B, 1, Skv]
 
-    grid = (b, h, sq_p // block_q, skv_p // block_kv)
+    grid = (b, h // hblk, sq_p // block_q, skv_p // block_kv)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, has_bias=has_bias),
+        functools.partial(_flash_kernel, hblk=hblk, has_bias=has_bias),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
-            pl.BlockSpec((1, 1, block_kv, d), lambda b_, h_, i, j: (b_, h_, j, 0)),
-            pl.BlockSpec((1, 1, block_kv, d), lambda b_, h_, i, j: (b_, h_, j, 0)),
+            pl.BlockSpec((1, hblk, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
+            pl.BlockSpec((1, hblk, d, block_kv), lambda b_, h_, i, j: (b_, h_, 0, j)),
+            pl.BlockSpec((1, hblk, block_kv, d), lambda b_, h_, i, j: (b_, h_, j, 0)),
             pl.BlockSpec((1, 1, block_kv), lambda b_, h_, i, j: (b_, 0, j)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0)
+            (1, hblk, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0)
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((hblk * block_q, _LANES), jnp.float32),
+            pltpu.VMEM((hblk * block_q, _LANES), jnp.float32),
+            pltpu.VMEM((hblk * block_q, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
-    )(q, k, v, key_bias)
+    )(q, kt, v, key_bias)
     return out[:, :, :sq, :]
 
 
@@ -221,7 +231,7 @@ def flash_attention(
     v: jnp.ndarray,
     key_bias: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
-    block_q: int = 512,
+    block_q: int = 1024,
     block_kv: int = 1024,
     tp_axis: Optional[str] = None,
 ) -> jnp.ndarray:
@@ -268,13 +278,12 @@ def _dispatch(q, k, v, key_bias, scale, block_q, block_kv, has_bias):
     if jax.default_backend() == "tpu":
         import os
 
-        if (not has_bias and os.environ.get("TOKENSGEN_LIB_FLASH", "1") == "1"
+        if (not has_bias and os.environ.get("TOKENSGEN_LIB_FLASH", "0") == "1"
                 and sq >= 512 and k.shape[2] >= 1024 and d in (64, 128)):
-            # jax's in-tree TPU flash kernel (~25% faster at 18k seq as of
-            # jax 0.9) is the default for the no-bias long-seq path; arbitrary
-            # lengths are handled with segment-id-masked padding. Set
-            # TOKENSGEN_LIB_FLASH=0 to force our kernel (which also serves the
-            # bias path and short sequences).
+            # jax's in-tree TPU flash kernel, kept behind TOKENSGEN_LIB_FLASH=1
+            # for comparison. Our kernel (2-heads-per-step, pre-transposed K,
+            # folded scale) measures ~59-63 ms vs lib's ~72 ms at the 18k joint
+            # shape (round 2), so ours is the default on every path.
             try:
                 return _lib_flash(q, k, v, scale)
             except Exception:

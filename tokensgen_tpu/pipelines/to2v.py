@@ -91,6 +91,7 @@ class To2VPipeline:
         vae_runner: Optional[VAERunner],
         sched: Optional[S.DiffusionSchedule] = None,
         pca=None,
+        image_encoder=None,  # optional (DINOv2Encoder, params) for the non-VAE path
     ):
         if cfg.num_frames_per_chunk > 49:
             raise ValueError(
@@ -105,6 +106,7 @@ class To2VPipeline:
         self.vae = vae_runner
         self.sched = sched or S.make_schedule(S.ScheduleConfig())
         self.pca = pca
+        self.image_encoder = image_encoder
         self.dit = CogVideoXTransformer(dit_config)
         self.resampler = Resampler(resampler_config)
 
@@ -207,15 +209,39 @@ class To2VPipeline:
         frame_features: jnp.ndarray,  # [B, F_px, N, E] per-frame features
         do_cfg: bool = True,
         uncond_features: Optional[jnp.ndarray] = None,
+        feature_grid: Optional[tuple] = None,  # (gh, gw) with gh*gw == N
     ) -> jnp.ndarray:
         """Image-encoder conditioning path (`use_vae_as_encoder: false`):
         per-frame features from an external vision encoder (the reference uses
         DINOv2 penultimate hidden states, 256 tokens/frame,
         `pipeline_cogvideox_mp_fifo.py:488-560`) resampled per pixel-frame chunk.
         The encoder itself is pluggable — pass its features in; CFG uncond
-        defaults to zero features."""
+        defaults to zero features.
+
+        Unlike the VAE path, the resampler ropes cover the PIXEL-frame x
+        encoder-patch grid (the reference builds them from the resampler's
+        max_*_seq_len, `pipeline_cogvideox_mp_fifo.py:1104-1149`); square
+        ``N`` is inferred, otherwise pass ``feature_grid``."""
         nf_px = self.cfg.num_frames_per_chunk
-        img_rope, smp_rope = self.resampler_ropes()
+        n = frame_features.shape[2]
+        if feature_grid is None:
+            g = int(round(n ** 0.5))
+            if g * g != n:
+                raise ValueError(f"non-square N={n}: pass feature_grid=(gh, gw)")
+            feature_grid = (g, g)
+        gh, gw = feature_grid
+        rc = self.resampler_config
+        d = self.dit_config.attention_head_dim
+        off = self.cfg.video_ipadapter_start_frame_idx
+        img_rope = get_3d_rotary_pos_embed_v2(
+            d, np.arange(nf_px, dtype=np.float32),
+            np.arange(gh, dtype=np.float32), np.arange(gw, dtype=np.float32))
+        smp_rope = get_3d_rotary_pos_embed_v2(
+            d,
+            np.linspace(off, off + nf_px, rc.num_temporal_queries,
+                        endpoint=False, dtype=np.float32),
+            np.linspace(0, gh, rc.num_height_queries, endpoint=False, dtype=np.float32),
+            np.linspace(0, gw, rc.num_width_queries, endpoint=False, dtype=np.float32))
 
         def resample(feats):
             toks = []
@@ -236,6 +262,35 @@ class To2VPipeline:
         if self.cfg.use_separate_guidance:
             return jnp.concatenate([cond, uncond, cond], axis=0)
         return jnp.concatenate([uncond, cond], axis=0)
+
+    def encode_image_dinov2(
+        self,
+        frames: jnp.ndarray,  # [B, F_px, H, W, 3] in [-1, 1]
+        do_cfg: bool = True,
+        num_tokens: int = 256,
+    ) -> jnp.ndarray:
+        """Full DINOv2 conditioning path (`use_vae_as_encoder: false`,
+        `pipeline_cogvideox_mp_fifo.py:488-560`): antialiased 224 resize +
+        ImageNet normalise, penultimate hidden state, first ``num_tokens``
+        tokens per frame, resampled per chunk. The CFG uncond branch encodes
+        ZERO IMAGES through the encoder (`:538-540`), not zero features.
+        Requires ``image_encoder=(DINOv2Encoder, params)`` on the pipeline."""
+        if self.image_encoder is None:
+            raise ValueError("pipeline built without image_encoder")
+        from tokensgen_tpu.models.dinov2 import preprocess_frames
+
+        enc, enc_params = self.image_encoder
+        b, f = frames.shape[:2]
+        px = preprocess_frames(
+            frames.reshape((b * f,) + frames.shape[2:]), enc.config.image_size)
+
+        def features(images):
+            h = enc.apply(enc_params, images)[:, :num_tokens]
+            return h.reshape(b, f, *h.shape[1:])
+
+        uncond = features(jnp.zeros_like(px)) if do_cfg else None
+        return self.encode_image_features(features(px), do_cfg,
+                                          uncond_features=uncond)
 
     # --------------------------------------------------------------- model fn
 

@@ -1,6 +1,8 @@
 from tokensgen_tpu.sharding.mesh import (  # noqa: F401
     MeshSpec,
+    initialize_multihost,
     make_mesh,
-    shard_batch,
+    process_batch_shard,
     replicate,
+    shard_batch,
 )

@@ -47,11 +47,55 @@ def make_mesh(spec: Optional[MeshSpec] = None, devices: Optional[Sequence] = Non
     return Mesh(devs, axis_names=("data", "queue", "model"))
 
 
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host wiring (SURVEY §2.3/§7.2-8): `jax.distributed.initialize`.
+
+    Call BEFORE any other jax use. Arguments fall back to the standard
+    environment (`JAX_COORDINATOR_ADDRESS` / `JAX_NUM_PROCESSES` /
+    `JAX_PROCESS_ID`, or cloud-TPU auto-detection when all are None). Returns
+    True when running multi-process. Single-process callers may simply never
+    call this.
+    """
+    if coordinator_address or num_processes is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    else:
+        jax.distributed.initialize()  # env vars / cloud-TPU auto-detection
+    return jax.process_count() > 1
+
+
+def process_batch_shard(global_batch_size: int) -> tuple:
+    """(local_batch_size, shard_index, num_shards) for this host's data loader —
+    feed into `data.mira.batch_iterator(num_shards=, shard_index=)`."""
+    n = jax.process_count()
+    if global_batch_size % n:
+        raise ValueError(f"global batch {global_batch_size} not divisible by {n} hosts")
+    return global_batch_size // n, jax.process_index(), n
+
+
 def shard_batch(mesh: Mesh, tree, axis: str = "data"):
-    """Shard the leading (batch) dim of every leaf over the given mesh axis."""
+    """Shard the leading (batch) dim of every leaf over the given mesh axis.
+
+    Single-process: a plain device_put. Multi-process: each host contributes its
+    local per-host batch and the result is the global array
+    (`jax.make_array_from_process_local_data`) — the leading dim of each leaf is
+    the LOCAL batch and the global batch is local * process_count.
+    """
+    multihost = jax.process_count() > 1
+
     def put(x):
         spec = P(axis, *([None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multihost:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
     return jax.tree_util.tree_map(put, tree)
 
 

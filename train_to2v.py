@@ -94,12 +94,14 @@ def main():
         num_processes=jax.device_count(),
     )
     accum = cfg.get("gradient_accumulation_steps", 1)
-    batch_size = cfg.get("per_gpu_batch_size", 1) * jax.device_count()
+    batch_size = cfg.get("per_gpu_batch_size", 1) * jax.device_count()  # global
     max_chunks = cfg.get_path("train_data_params.max_num_chunks", 2)
 
     # --- params ---
     rng = jax.random.PRNGKey(cfg.get("seed", 42))
-    b = batch_size
+    # the host pipeline produces this host's share; shard_batch assembles the
+    # global array from per-process data under multi-host
+    b = cfg.get("per_gpu_batch_size", 1) * jax.local_device_count()
     nf = (nf_px - 1) // 4 + 1
     h_lat = height // 8
     w_lat = width // 8
@@ -169,7 +171,10 @@ def main():
         def epoch_iter():
             epoch = 0
             while True:
-                yield from batch_iterator(ds, b, seed=cfg.get("seed", 42) + epoch)
+                yield from batch_iterator(
+                    ds, b, seed=cfg.get("seed", 42) + epoch,
+                    num_shards=jax.process_count(),
+                    shard_index=jax.process_index())
                 epoch += 1
 
         batches = epoch_iter()
