@@ -112,7 +112,12 @@ def main():
     mesh = make_mesh(MeshSpec(data=jax.device_count()))
     step_fn = jax.jit(t2to.make_train_step(dcfg, sched, tcfg, optimizer))
     params = replicate(mesh, params)
-    opt_state = replicate(mesh, opt_state)
+    if cfg.get("zero1", False):
+        from tokensgen_tpu.sharding.zero import shard_opt_state
+
+        opt_state = shard_opt_state(opt_state, mesh)
+    else:
+        opt_state = replicate(mesh, opt_state)
 
     def synthetic_batches():
         while True:

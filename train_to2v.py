@@ -139,7 +139,14 @@ def main():
     mesh = make_mesh(MeshSpec(data=jax.device_count()))
     train_step = jax.jit(to2v.make_train_step(dcfg, rcfg, sched, tcfg, optimizer))
     params = replicate(mesh, params)
-    opt_state = replicate(mesh, opt_state)
+    if cfg.get("zero1", False):
+        # ZeRO-1: optimizer state sharded over the data axis; XLA inserts the
+        # reduce-scatter/all-gather around the update (sharding/zero.py)
+        from tokensgen_tpu.sharding.zero import shard_opt_state
+
+        opt_state = shard_opt_state(opt_state, mesh)
+    else:
+        opt_state = replicate(mesh, opt_state)
 
     # --- data ---
     def synthetic_batches():
