@@ -35,7 +35,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure(layers: int, use_vip: bool, cfg_batched: bool = True):
+def measure(layers: int, use_vip: bool, cfg_batched: bool = True,
+            ff_chunks: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -44,7 +45,7 @@ def measure(layers: int, use_vip: bool, cfg_batched: bool = True):
     from tokensgen_tpu.utils.params import init_params_bf16, param_count
 
     vc = VIPConfig() if use_vip else None
-    cfg = DiTConfig.cogvideox_5b(num_layers=layers, vip=vc)
+    cfg = DiTConfig.cogvideox_5b(num_layers=layers, vip=vc, ff_chunks=ff_chunks)
     b, f, h, w = 1, 13, 60, 90
     hp, wp = h // 2, w // 2
     d = cfg.attention_head_dim
@@ -116,10 +117,11 @@ def measure(layers: int, use_vip: bool, cfg_batched: bool = True):
     return step_sec, est_ref_sec
 
 
-def _attempt_main(ls: int, uv: bool, cb: bool) -> None:
+def _attempt_main(ls: int, uv: bool, cb: bool, ffc: int) -> None:
     """Child-process entry: one measure, result JSON on stdout fd-style."""
-    step_sec, est_ref_sec = measure(ls, uv, cb)
-    print(json.dumps({"step_sec": step_sec, "est_ref_sec": est_ref_sec}))
+    step_sec, est_ref_sec = measure(ls, uv, cb, ffc)
+    print(json.dumps({"step_sec": step_sec, "est_ref_sec": est_ref_sec,
+                      "cfg_batched": cb, "layers": ls, "vip": uv}))
 
 
 def main():
@@ -127,25 +129,26 @@ def main():
 
     layers = int(os.environ.get("BENCH_LAYERS", str(FULL_LAYERS)))
     use_vip = os.environ.get("BENCH_VIP", "1") == "1"
-    # B=1x2 first: the CFG-batched B=2 pair of the full 7.17B model OOMs the
-    # 16 GB v5e (verified twice 2026-08-16) and costs a ~14-min doomed compile.
-    attempts = [(layers, use_vip, False), (layers, use_vip, True)]
+    # True CFG-batched B=2 first: with the fused-prologue attention kernel (no
+    # XLA-side q/k copies) and ff_chunks=4 (caps the gelu intermediate) the
+    # full 7.17B pair fits the 16 GB v5e. Fallbacks: B=1x2, then reduced.
+    attempts = [(layers, use_vip, True, 4), (layers, use_vip, False, 1)]
     if use_vip:
-        attempts.append((layers, False, True))
+        attempts.append((layers, False, True, 1))
     half = max(1, layers // 2)
     if use_vip:
-        attempts.append((half, True, True))
-    attempts.append((half, False, True))
+        attempts.append((half, True, True, 1))
+    attempts.append((half, False, True, 1))
 
     # Each attempt runs in a FRESH subprocess: a crashed/oom'd compile poisons
     # the TPU client state and leaks HBM (observed with the axon remote-compile
     # helper), which would otherwise doom every later fallback config.
     result = None
-    for ls, uv, cb in attempts:
+    for ls, uv, cb, ffc in attempts:
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--attempt",
-                 str(ls), "1" if uv else "0", "1" if cb else "0"],
+                 str(ls), "1" if uv else "0", "1" if cb else "0", str(ffc)],
                 capture_output=True, text=True, timeout=1500,
             )
         except subprocess.TimeoutExpired:
@@ -161,16 +164,20 @@ def main():
     if result is None:
         raise SystemExit("all bench configs failed")
 
+    unit = "s/step (CFG-batched pair, 13f 720x480 clip, 1 chip v5e)"
+    if not result.get("cfg_batched", True):
+        unit = "s/step (2x B=1 fwd, 13f 720x480 clip, 1 chip v5e)"
     print(json.dumps({
         "metric": "to2v_5b_dit_sec_per_denoise_step",
         "value": round(result["step_sec"], 4),
-        "unit": "s/step (CFG-batched pair, 13f 720x480 clip, 1 chip v5e)",
+        "unit": unit,
         "vs_baseline": round(result["est_ref_sec"] / result["step_sec"], 3),
     }))
 
 
 if __name__ == "__main__":
-    if len(sys.argv) == 5 and sys.argv[1] == "--attempt":
-        _attempt_main(int(sys.argv[2]), sys.argv[3] == "1", sys.argv[4] == "1")
+    if len(sys.argv) >= 5 and sys.argv[1] == "--attempt":
+        ffc = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+        _attempt_main(int(sys.argv[2]), sys.argv[3] == "1", sys.argv[4] == "1", ffc)
     else:
         main()

@@ -95,6 +95,304 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# ---------------------------------------------------------------------------
+# Fused qk-norm + RoPE prologue
+#
+# The DiT applies, per attention and per stream: LayerNorm(d=64, f32 stats,
+# affine) on q/k followed by interleaved rotary embedding — ~25 ms/layer of
+# HBM-bound elementwise at the 18k joint shape when done in XLA. Both fold
+# algebraically into the kernel:
+#
+#     rope(LN(x)) = LN0(x) ∘ cosg + (LN0(x) @ Rg) ∘ sin + add
+#
+# where LN0 is the *unscaled* normalize, cosg = cos∘g, add = b∘cos + (b@R)∘sin
+# are per-position tables, R is the constant signed pair-swap permutation
+# ((x0,x1) -> (-x1,x0)) and Rg = diag(g)@R — so the rotation is ONE tiny
+# [blk,64]x[64,64] f32 matmul (exact: R entries are 0/±1) instead of lane
+# shuffles. The kernel computes q' once per q block (at j==0) and K' once per
+# kv block (at i==0, cached in a VMEM scratch that persists across all later
+# q blocks of the same head pair), overlapped with the MXU score matmuls.
+# Identity tables (cos=1, sin=0) express "rope on the video segment only":
+# text positions simply get identity rows. The softmax scale (and the exp2
+# conversion) is pre-multiplied into the q-side tables.
+# ---------------------------------------------------------------------------
+
+
+def rotation_matrix(d: int) -> jnp.ndarray:
+    """[D, D] signed permutation R with (x@R)[2i] = -x[2i+1], (x@R)[2i+1] = x[2i],
+    i.e. the interleaved rotate-half of `apply_rotary_emb`."""
+    import numpy as np
+
+    r = np.zeros((d, d), np.float32)
+    for i in range(0, d, 2):
+        r[i + 1, i] = -1.0
+        r[i, i + 1] = 1.0
+    return jnp.asarray(r)
+
+
+def make_prologue(
+    d: int,
+    segments,
+    ln_scale: Optional[jnp.ndarray] = None,
+    ln_bias: Optional[jnp.ndarray] = None,
+    fold: float = 1.0,
+):
+    """Build (cosg, sin, add, Rg) tables for the fused qk-norm+rope prologue.
+
+    ``segments``: list of ``(rope_or_None, length)`` in sequence order; a None
+    rope contributes identity rows (cos=1, sin=0 — "no rotation" positions,
+    e.g. the text segment of the joint sequence). Rope tables may be [S, D] or
+    batched [B, S, D] (FIFO's per-sample traced grids); mixing requires equal B.
+    ``ln_scale``/``ln_bias``: optional LayerNorm affine params [D].
+    ``fold``: scalar premultiplied into all tables (softmax scale fold).
+    """
+    f32 = jnp.float32
+    batch = None
+    for rope, _ in segments:
+        if rope is not None and rope[0].ndim == 3:
+            batch = rope[0].shape[0]
+    cos_parts, sin_parts = [], []
+    for rope, length in segments:
+        if length == 0:
+            continue
+        if rope is None:
+            shape = (length, d) if batch is None else (batch, length, d)
+            cos_parts.append(jnp.ones(shape, f32))
+            sin_parts.append(jnp.zeros(shape, f32))
+        else:
+            cos_r, sin_r = rope
+            assert cos_r.shape[-2] == length, (cos_r.shape, length)
+            cos_r, sin_r = cos_r.astype(f32), sin_r.astype(f32)
+            if batch is not None and cos_r.ndim == 2:
+                cos_r = jnp.broadcast_to(cos_r[None], (batch,) + cos_r.shape)
+                sin_r = jnp.broadcast_to(sin_r[None], (batch,) + sin_r.shape)
+            cos_parts.append(cos_r)
+            sin_parts.append(sin_r)
+    cos = jnp.concatenate(cos_parts, axis=-2) if len(cos_parts) > 1 else cos_parts[0]
+    sin = jnp.concatenate(sin_parts, axis=-2) if len(sin_parts) > 1 else sin_parts[0]
+    r = rotation_matrix(d)
+    if ln_scale is not None:
+        g = ln_scale.astype(f32)
+        cosg = cos * g
+        rg = g[:, None] * r  # diag(g) @ R
+    else:
+        cosg = cos
+        rg = r
+    if ln_bias is not None:
+        b_ = ln_bias.astype(f32)
+        add = b_ * cos + (b_ @ r) * sin
+    else:
+        add = jnp.zeros_like(cos)
+    if fold != 1.0:
+        cosg, sin, add = cosg * fold, sin * fold, add * fold
+    return cosg, sin, add, rg
+
+
+def prologue_identity(seq_len: int, d: int, fold: float = 1.0):
+    """Identity prologue (no norm, no rope): y = x * fold."""
+    return make_prologue(d, [(None, seq_len)], fold=fold)
+
+
+def slice_tabs(tabs, start: int, stop: int):
+    """Row-slice prologue tables (for attention over a sub-sequence)."""
+    cosg, sin, add, rg = tabs
+    return (cosg[..., start:stop, :], sin[..., start:stop, :],
+            add[..., start:stop, :], rg)
+
+
+def concat_tabs(*tabs_list):
+    """Concatenate prologue tables along the sequence axis (same Rg)."""
+    cosg = jnp.concatenate([t[0] for t in tabs_list], axis=-2)
+    sin = jnp.concatenate([t[1] for t in tabs_list], axis=-2)
+    add = jnp.concatenate([t[2] for t in tabs_list], axis=-2)
+    return cosg, sin, add, tabs_list[0][3]
+
+
+def _apply_prologue_xla(x, tabs, eps: float, normalize: bool):
+    """XLA reference of the in-kernel prologue: x [..., S, D], tabs [(B,)S, D]."""
+    cosg, sin, add, rg = tabs
+    x32 = x.astype(jnp.float32)
+    if normalize:
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        dlt = x32 - mu
+        var = jnp.mean(dlt * dlt, axis=-1, keepdims=True)
+        ln0 = dlt * jax.lax.rsqrt(var + eps)
+    else:
+        ln0 = x32
+    if cosg.ndim == 3:  # batched tables [B, S, D] vs x [B, H, S, D]
+        cosg, sin, add = cosg[:, None], sin[:, None], add[:, None]
+    y = ln0 * cosg + (ln0 @ rg) * sin + add
+    return y.astype(x.dtype)
+
+
+def _ln_rope_block(x_ref_slice, cosg, sin, add, rg, eps: float, normalize: bool,
+                   out_dtype):
+    """In-kernel prologue on one [blk, D] block."""
+    x32 = x_ref_slice.astype(jnp.float32)
+    if normalize:
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        dlt = x32 - mu
+        var = jnp.mean(dlt * dlt, axis=-1, keepdims=True)
+        ln0 = dlt * jax.lax.rsqrt(var + eps)
+    else:
+        ln0 = x32
+    rot = jax.lax.dot_general(
+        ln0, rg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return (ln0 * cosg + rot * sin + add).astype(out_dtype)
+
+
+def _flash_fused_kernel(
+    q_ref, k_ref, v_ref, bias_ref,
+    cq_ref, sq_ref, aq_ref, rq_ref,
+    ck_ref, sk_ref, ak_ref, rk_ref,
+    o_ref, m_scr, l_scr, acc_scr, qn_scr, kn_scr, *,
+    hblk: int, has_bias: bool, block_kv: int, eps: float, norm_q: bool,
+    norm_k: bool,
+):
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        for hh in range(hblk):
+            qn_scr[hh] = _ln_rope_block(
+                q_ref[0, hh], cq_ref[0], sq_ref[0], aq_ref[0], rq_ref[:],
+                eps, norm_q, qn_scr.dtype)
+
+    @pl.when(i == 0)
+    def _prep_k():
+        for hh in range(hblk):
+            kn_scr[hh, pl.ds(j * block_kv, block_kv), :] = _ln_rope_block(
+                k_ref[0, hh], ck_ref[0], sk_ref[0], ak_ref[0], rk_ref[:],
+                eps, norm_k, kn_scr.dtype)
+
+    bias = bias_ref[0, 0][None, :] if has_bias else None
+    scores = []
+    for hh in range(hblk):
+        s = jax.lax.dot_general(
+            qn_scr[hh], kn_scr[hh, pl.ds(j * block_kv, block_kv), :],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # [Bq, Bk], log2-domain (scale*log2e folded into the q tables)
+        scores.append(s + bias if has_bias else s)
+
+    for hh, s in enumerate(scores):
+        m_prev = m_scr[hh, :, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
+        l_scr[hh, :, :1] = alpha * l_scr[hh, :, :1] + jnp.sum(p, axis=-1,
+                                                              keepdims=True)
+        acc_scr[hh] = alpha * acc_scr[hh] + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, hh],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        m_scr[hh, :, :1] = m_new
+
+    @pl.when(j == num_kv - 1)
+    def _finalize():
+        for hh in range(hblk):
+            o_ref[0, hh] = (acc_scr[hh] / l_scr[hh, :, :1]).astype(o_ref.dtype)
+
+
+def _pad_tabs(tabs, pad, batched, pad_cos=0.0):
+    cosg, sin, add, rg = tabs
+    ax = 1 if batched else 0
+    width = [(0, 0)] * cosg.ndim
+    width[ax] = (0, pad)
+    return (jnp.pad(cosg, width, constant_values=pad_cos),
+            jnp.pad(sin, width), jnp.pad(add, width), rg)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_q", "block_kv", "has_bias", "eps", "norm_q", "norm_k"))
+def _flash_fused_tpu(
+    q, k, v, key_bias, tabs_q, tabs_k,
+    block_q: int, block_kv: int, has_bias: bool, eps: float,
+    norm_q: bool, norm_k: bool,
+):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    sq_p = _round_up(sq, block_q)
+    skv_p = _round_up(skv, block_kv)
+    has_bias = has_bias or skv_p != skv
+    hblk = 2 if h % 2 == 0 else 1
+
+    q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    k = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    key_bias = jnp.pad(key_bias, ((0, 0), (0, skv_p - skv)),
+                       constant_values=_NEG_INF)
+    key_bias = key_bias[:, None, :] * _LOG2E
+
+    # tables: normalize to [Bt, S, D] (Bt==1 shared across the batch)
+    def norm_tabs(tabs, s_p, pad):
+        cosg, sin, add, rg = tabs
+        batched = cosg.ndim == 3
+        tabs = _pad_tabs((cosg, sin, add, rg), pad, batched)
+        cosg, sin, add, rg = tabs
+        if not batched:
+            cosg, sin, add = cosg[None], sin[None], add[None]
+        return cosg, sin, add, rg, (cosg.shape[0] != 1)
+
+    cq, sq_t, aq, rq, bq_batched = norm_tabs(tabs_q, sq_p, sq_p - sq)
+    ck, sk, ak, rk, bk_batched = norm_tabs(tabs_k, skv_p, skv_p - skv)
+    # tables fold the softmax scale; the exp2-domain conversion is kernel-internal
+    cq, sq_t, aq = cq * _LOG2E, sq_t * _LOG2E, aq * _LOG2E
+
+    def tab_spec(blk, batched, kv: bool):
+        def imap(b_, h_, i_, j_):
+            pos = j_ if kv else i_
+            return (b_ if batched else 0, pos, 0)
+        return pl.BlockSpec((1, blk, d), imap)
+
+    grid = (b, h // hblk, sq_p // block_q, skv_p // block_kv)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_fused_kernel, hblk=hblk, has_bias=has_bias,
+            block_kv=block_kv, eps=eps, norm_q=norm_q, norm_k=norm_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, hblk, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
+            pl.BlockSpec((1, hblk, block_kv, d), lambda b_, h_, i, j: (b_, h_, j, 0)),
+            pl.BlockSpec((1, hblk, block_kv, d), lambda b_, h_, i, j: (b_, h_, j, 0)),
+            pl.BlockSpec((1, 1, block_kv), lambda b_, h_, i, j: (b_, 0, j)),
+            tab_spec(block_q, bq_batched, False),
+            tab_spec(block_q, bq_batched, False),
+            tab_spec(block_q, bq_batched, False),
+            pl.BlockSpec((d, d), lambda b_, h_, i, j: (0, 0)),
+            tab_spec(block_kv, bk_batched, True),
+            tab_spec(block_kv, bk_batched, True),
+            tab_spec(block_kv, bk_batched, True),
+            pl.BlockSpec((d, d), lambda b_, h_, i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hblk, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((hblk, block_q, _LANES), jnp.float32),
+            pltpu.VMEM((hblk, block_q, _LANES), jnp.float32),
+            pltpu.VMEM((hblk, block_q, d), jnp.float32),
+            pltpu.VMEM((hblk, block_q, d), q.dtype),
+            pltpu.VMEM((hblk, skv_p, d), q.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
+            # the default scoped-vmem budget is 16 MB; the persistent normed-K
+            # scratch [hblk, Skv, D] plus double-buffered blocks needs more
+            # (v5e has 128 MB physical VMEM)
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(q, k, v, key_bias, cq, sq_t, aq, rq, ck, sk, ak, rk)
+    return out[:, :, :sq, :]
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv", "has_bias"))
 def _flash_attention_tpu(
     q: jnp.ndarray,
@@ -216,6 +514,410 @@ def _flash_diff_bwd(scale, block_q, block_kv, has_bias, res, g):
 
 
 _flash_attention_tpu_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Packed head-pair kernel (d=64 on a 128-lane MXU)
+#
+# A [B, H, S, 64] array is tiled (8, 128) on its last two dims, so the minor
+# d=64 is lane-padded to 128: 2x the HBM *and* 2x the DMA traffic of the
+# logical data (this padding alone kept the CFG-batched B=2 forward of the
+# 7.17B model from fitting a 16 GB chip). The packed kernel stores head pairs
+# side-by-side in the feature dim — [B, H/2, S, 128], no padding — and keeps
+# every matmul full-width via block-diagonal operands:
+#
+#   * scores: q2 [Bq,128] @ KT [128, 2*Bk] where KT = blockdiag(kA^T, kB^T)
+#     -> [sA | sB] side by side (the zero quadrants make the extra MACs
+#     redundant-but-free: a K=64 matmul wastes half the MXU anyway),
+#   * p@v:    [pA | pB] [Bq, 2*Bk] @ blockdiag(vA, vB) [2*Bk, 128] -> [oA|oB],
+#   * prologue LN stats per 64-lane half via one matmul with
+#     Mu = blockdiag(J/64, J/64) (no lane slicing), rotation via
+#     blockdiag(Rg, Rg).
+#
+# KT and V2 are built once per head pair (at i==0) into persistent VMEM
+# scratch and reused by every later q block. Per-half softmax state uses
+# register-aligned [*, :Bk] / [*, Bk:] slices only.
+# ---------------------------------------------------------------------------
+
+
+def _flash_packed_kernel(
+    q_ref, k_ref, v_ref, bias_ref,
+    cq_ref, sq_ref, aq_ref, rq_ref,
+    ck_ref, sk_ref, ak_ref, rk_ref, mu_ref,
+    o_ref, m_scr, l_scr, acc_scr, qn_scr, kt_scr, v2_scr, *,
+    has_bias: bool, block_kv: int, eps: float, norm_q: bool, norm_k: bool,
+):
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+    d2 = q_ref.shape[-1]  # 128 = two packed heads
+    dh = d2 // 2
+
+    def prologue(x, cos_t, sin_t, add_t, rg, normalize):
+        x32 = x.astype(jnp.float32)
+        if normalize:
+            mu = jax.lax.dot_general(
+                x32, mu_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dlt = x32 - mu
+            var = jax.lax.dot_general(
+                dlt * dlt, mu_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ln0 = dlt * jax.lax.rsqrt(var + eps)
+        else:
+            ln0 = x32
+        rot = jax.lax.dot_general(
+            ln0, rg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (ln0 * cos_t + rot * sin_t + add_t).astype(q_ref.dtype)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        qn_scr[:] = prologue(q_ref[0, 0], cq_ref[0], sq_ref[0], aq_ref[0],
+                             rq_ref[:], norm_q)
+
+    @pl.when(i == 0)
+    def _prep_kv():
+        kn = prologue(k_ref[0, 0], ck_ref[0], sk_ref[0], ak_ref[0],
+                      rk_ref[:], norm_k)  # [Bk, 128]
+        knt = kn.T  # [128, Bk]
+        rows = jax.lax.broadcasted_iota(jnp.int32, knt.shape, 0)
+        kt_scr[:, pl.ds(2 * j * block_kv, block_kv)] = jnp.where(
+            rows < dh, knt, 0).astype(knt.dtype)
+        kt_scr[:, pl.ds(2 * j * block_kv + block_kv, block_kv)] = jnp.where(
+            rows >= dh, knt, 0).astype(knt.dtype)
+        v2 = v_ref[0, 0]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, v2.shape, 1)
+        v2_scr[pl.ds(2 * j * block_kv, block_kv), :] = jnp.where(
+            lanes < dh, v2, 0)
+        v2_scr[pl.ds(2 * j * block_kv + block_kv, block_kv), :] = jnp.where(
+            lanes >= dh, v2, 0)
+
+    s2 = jax.lax.dot_general(
+        qn_scr[:], kt_scr[:, pl.ds(2 * j * block_kv, 2 * block_kv)],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # [Bq, 2*Bk] = [sA | sB], log2 domain
+    bias = bias_ref[0, 0][None, :] if has_bias else None
+    ps = []
+    for hh in range(2):
+        s = s2[:, hh * block_kv:(hh + 1) * block_kv]
+        if has_bias:
+            s = s + bias
+        m_prev = m_scr[hh, :, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
+        l_scr[hh, :, :1] = alpha * l_scr[hh, :, :1] + jnp.sum(p, axis=-1,
+                                                              keepdims=True)
+        m_scr[hh, :, :1] = m_new
+        ps.append((p, alpha))
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, acc_scr.shape, 1)
+    alpha2 = jnp.where(lanes < dh, ps[0][1], ps[1][1])
+    p2 = jnp.concatenate([ps[0][0], ps[1][0]], axis=1).astype(v_ref.dtype)
+    acc_scr[:] = alpha2 * acc_scr[:] + jax.lax.dot_general(
+        p2, v2_scr[pl.ds(2 * j * block_kv, 2 * block_kv), :],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == num_kv - 1)
+    def _finalize():
+        l2 = jnp.where(lanes < dh, l_scr[0, :, :1], l_scr[1, :, :1])
+        o_ref[0, 0] = (acc_scr[:] / l2).astype(o_ref.dtype)
+
+
+def _pack_tabs(tabs):
+    """Duplicate [.., S, D] prologue tables to packed [.., S, 2D]; blockdiag Rg."""
+    cosg, sin, add, rg = tabs
+    d = rg.shape[0]
+    z = jnp.zeros((d, d), rg.dtype)
+    rg2 = jnp.block([[rg, z], [z, rg]])
+    return (jnp.concatenate([cosg, cosg], axis=-1),
+            jnp.concatenate([sin, sin], axis=-1),
+            jnp.concatenate([add, add], axis=-1), rg2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "block_q", "block_kv", "has_bias", "eps",
+                     "norm_q", "norm_k"))
+def _flash_fused_packed_tpu(
+    q, k, v, key_bias, tabs_q, tabs_k, heads: int,
+    block_q: int, block_kv: int, has_bias: bool, eps: float,
+    norm_q: bool, norm_k: bool,
+):
+    """q/k/v: merged [B, S, H*D]; returns [B, Sq, H*D]."""
+    b, sq, hd = q.shape
+    skv = k.shape[1]
+    d = hd // heads
+    hp = heads // 2
+    sq_p = _round_up(sq, block_q)
+    skv_p = _round_up(skv, block_kv)
+    has_bias = has_bias or skv_p != skv
+
+    def pack(x, s, s_p):
+        x = x.reshape(b, s, hp, 2 * d).transpose(0, 2, 1, 3)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, s_p - s), (0, 0)))
+
+    qp, kp, vp = pack(q, sq, sq_p), pack(k, skv, skv_p), pack(v, skv, skv_p)
+    key_bias = jnp.pad(key_bias, ((0, 0), (0, skv_p - skv)),
+                       constant_values=_NEG_INF)
+    key_bias = key_bias[:, None, :] * _LOG2E
+
+    def norm_tabs(tabs, pad):
+        cosg, sin, add, rg = _pack_tabs(tabs)
+        batched = cosg.ndim == 3
+        cosg, sin, add, rg = _pad_tabs((cosg, sin, add, rg), pad, batched)
+        if not batched:
+            cosg, sin, add = cosg[None], sin[None], add[None]
+        return cosg, sin, add, rg, (cosg.shape[0] != 1)
+
+    cq, sq_t, aq, rq, bq_batched = norm_tabs(tabs_q, sq_p - sq)
+    ck, sk, ak, rk, bk_batched = norm_tabs(tabs_k, skv_p - skv)
+    cq, sq_t, aq = cq * _LOG2E, sq_t * _LOG2E, aq * _LOG2E
+
+    d2 = 2 * d
+    mu = jnp.block([
+        [jnp.full((d, d), 1.0 / d, jnp.float32), jnp.zeros((d, d), jnp.float32)],
+        [jnp.zeros((d, d), jnp.float32), jnp.full((d, d), 1.0 / d, jnp.float32)],
+    ])
+
+    def tab_spec(blk, batched, kv: bool):
+        def imap(b_, h_, i_, j_):
+            pos = j_ if kv else i_
+            return (b_ if batched else 0, pos, 0)
+        return pl.BlockSpec((1, blk, d2), imap)
+
+    grid = (b, hp, sq_p // block_q, skv_p // block_kv)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_packed_kernel, has_bias=has_bias, block_kv=block_kv,
+            eps=eps, norm_q=norm_q, norm_k=norm_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d2), lambda b_, h_, i, j: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, block_kv, d2), lambda b_, h_, i, j: (b_, h_, j, 0)),
+            pl.BlockSpec((1, 1, block_kv, d2), lambda b_, h_, i, j: (b_, h_, j, 0)),
+            pl.BlockSpec((1, 1, block_kv), lambda b_, h_, i, j: (b_, 0, j)),
+            tab_spec(block_q, bq_batched, False),
+            tab_spec(block_q, bq_batched, False),
+            tab_spec(block_q, bq_batched, False),
+            pl.BlockSpec((d2, d2), lambda b_, h_, i, j: (0, 0)),
+            tab_spec(block_kv, bk_batched, True),
+            tab_spec(block_kv, bk_batched, True),
+            tab_spec(block_kv, bk_batched, True),
+            pl.BlockSpec((d2, d2), lambda b_, h_, i, j: (0, 0)),
+            pl.BlockSpec((d2, d2), lambda b_, h_, i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d2), lambda b_, h_, i, j: (b_, h_, i, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hp, sq_p, d2), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_q, _LANES), jnp.float32),
+            pltpu.VMEM((2, block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d2), jnp.float32),
+            pltpu.VMEM((block_q, d2), q.dtype),
+            pltpu.VMEM((d2, 2 * skv_p), q.dtype),
+            pltpu.VMEM((2 * skv_p, d2), q.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(qp, kp, vp, key_bias, cq, sq_t, aq, rq, ck, sk, ak, rk, mu)
+    out = out[:, :, :sq, :].transpose(0, 2, 1, 3).reshape(b, sq, hd)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _flash_fused_diff(block_q, block_kv, has_bias, eps, norm_q, norm_k,
+                      q, k, v, key_bias, tabs_q, tabs_k):
+    """Fused-prologue attention with gradients: forward is the Pallas kernel,
+    backward recomputes the prologue in XLA (cheap: one pass over q/k) and
+    chains `_blocked_attention_bwd` through it — giving grads for q/k/v/bias
+    AND the prologue tables (through which the trainable qk-norm affine params
+    and any traced rope tables receive their gradients)."""
+    return _flash_fused_tpu(q, k, v, key_bias, tabs_q, tabs_k,
+                            block_q, block_kv, has_bias, eps, norm_q, norm_k)
+
+
+def _fused_diff_fwd(block_q, block_kv, has_bias, eps, norm_q, norm_k,
+                    q, k, v, key_bias, tabs_q, tabs_k):
+    out = _flash_fused_tpu(q, k, v, key_bias, tabs_q, tabs_k,
+                           block_q, block_kv, has_bias, eps, norm_q, norm_k)
+    return out, (q, k, v, key_bias, tabs_q, tabs_k, out)
+
+
+def _fused_diff_bwd(block_q, block_kv, has_bias, eps, norm_q, norm_k, res, g):
+    q, k, v, key_bias, tabs_q, tabs_k, out = res
+
+    def prologue(q_, k_, tq_, tk_):
+        return (_apply_prologue_xla(q_, tq_, eps, norm_q),
+                _apply_prologue_xla(k_, tk_, eps, norm_k))
+
+    (qn, kn), vjp_p = jax.vjp(prologue, q, k, tabs_q, tabs_k)
+    # the fused op's scores are qn@kn^T (scale folded into tabs_q) -> scale=1
+    dqn, dkn, dv, dbias = _blocked_attention_bwd(qn, kn, v, key_bias, out, g, 1.0)
+    dq, dk, dtq, dtk = vjp_p((dqn.astype(qn.dtype), dkn.astype(kn.dtype)))
+    return dq, dk, dv, dbias, dtq, dtk
+
+
+_flash_fused_diff.defvjp(_fused_diff_fwd, _fused_diff_bwd)
+
+
+def _xla_attention_fused(q, k, v, key_bias, tabs_q, tabs_k, eps, norm_q, norm_k):
+    qn = _apply_prologue_xla(q, tabs_q, eps, norm_q)
+    kn = _apply_prologue_xla(k, tabs_k, eps, norm_k)
+    return _xla_attention(qn, kn, v, key_bias, 1.0)
+
+
+def _split3(x, heads):
+    b, s, hd = x.shape
+    return x.reshape(b, s, heads, hd // heads).transpose(0, 2, 1, 3)
+
+
+def _merge3(x):
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _flash_packed_diff(heads, block_q, block_kv, has_bias, eps, norm_q, norm_k,
+                       q, k, v, key_bias, tabs_q, tabs_k):
+    """Packed head-pair kernel with gradients (merged [B, S, H*D] operands);
+    backward recomputes the prologue in XLA on the 4-D view and chains
+    `_blocked_attention_bwd` — identical math to `_flash_fused_diff`."""
+    return _flash_fused_packed_tpu(q, k, v, key_bias, tabs_q, tabs_k, heads,
+                                   block_q, block_kv, has_bias, eps,
+                                   norm_q, norm_k)
+
+
+def _packed_diff_fwd(heads, block_q, block_kv, has_bias, eps, norm_q, norm_k,
+                     q, k, v, key_bias, tabs_q, tabs_k):
+    out = _flash_fused_packed_tpu(q, k, v, key_bias, tabs_q, tabs_k, heads,
+                                  block_q, block_kv, has_bias, eps,
+                                  norm_q, norm_k)
+    return out, (q, k, v, key_bias, tabs_q, tabs_k, out)
+
+
+def _packed_diff_bwd(heads, block_q, block_kv, has_bias, eps, norm_q, norm_k,
+                     res, g):
+    q, k, v, key_bias, tabs_q, tabs_k, out = res
+
+    def prologue(q_, k_, tq_, tk_):
+        return (_apply_prologue_xla(_split3(q_, heads), tq_, eps, norm_q),
+                _apply_prologue_xla(_split3(k_, heads), tk_, eps, norm_k))
+
+    (qn, kn), vjp_p = jax.vjp(prologue, q, k, tabs_q, tabs_k)
+    dqn, dkn, dv4, dbias = _blocked_attention_bwd(
+        qn, kn, _split3(v, heads), key_bias, _split3(out, heads),
+        _split3(g, heads), 1.0)
+    dq, dk, dtq, dtk = vjp_p((dqn.astype(qn.dtype), dkn.astype(kn.dtype)))
+    return dq, dk, _merge3(dv4), dbias, dtq, dtk
+
+
+_flash_packed_diff.defvjp(_packed_diff_fwd, _packed_diff_bwd)
+
+
+def fused_flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    tabs_q,
+    tabs_k,
+    key_bias: Optional[jnp.ndarray] = None,
+    heads: Optional[int] = None,
+    eps: float = 1e-6,
+    norm_q: bool = True,
+    norm_k: bool = True,
+    block_q: int = 1024,
+    block_kv: int = 1024,
+    tp_axis: Optional[str] = None,
+) -> jnp.ndarray:
+    """Attention with the qk-norm + RoPE prologue fused into the kernel.
+
+    Operands are either 4-D [B, H, S, D] or merged 3-D [B, S, H*D] (pass
+    ``heads``; preferred — the merged layout avoids the 2x lane padding of a
+    d=64 minor dim and dispatches to the packed head-pair kernel on TPU).
+
+    ``tabs_q``/``tabs_k``: (cosg, sin, add, Rg) from :func:`make_prologue`;
+    build the q-side tables with ``fold=scale`` (softmax scale) — the kernel
+    computes softmax over ``prologue(q) @ prologue(k)^T + key_bias``.
+    ``norm_q``/``norm_k`` toggle the LayerNorm part (rope-only when False).
+    """
+    merged = q.ndim == 3
+    if merged:
+        assert heads is not None
+        b, sq, hd = q.shape
+        h, d = heads, hd // heads
+        skv = k.shape[1]
+    else:
+        b, h, sq, d = q.shape
+        skv = k.shape[2]
+    has_bias = key_bias is not None
+    if key_bias is None:
+        key_bias = jnp.zeros((b, skv), dtype=jnp.float32)
+    else:
+        key_bias = key_bias.astype(jnp.float32)
+
+    if tp_axis is not None:
+        from jax.sharding import PartitionSpec as P
+
+        if merged:
+            ntp = jax.sharding.get_abstract_mesh().shape[tp_axis]
+            hs = P(None, None, tp_axis)
+            h_local = h // ntp
+        else:
+            hs = P(None, tp_axis, None, None)
+            h_local = None
+        ts = jax.tree_util.tree_map(lambda _: P(), (tabs_q, tabs_k))
+        return jax.shard_map(
+            lambda q_, k_, v_, bias_, tq_, tk_: _fused_dispatch(
+                q_, k_, v_, bias_, tq_, tk_, h_local, has_bias, eps,
+                norm_q, norm_k, block_q, block_kv),
+            in_specs=(hs, hs, hs, P(None, None)) + tuple(ts),
+            out_specs=hs,
+        )(q, k, v, key_bias, tabs_q, tabs_k)
+    return _fused_dispatch(q, k, v, key_bias, tabs_q, tabs_k,
+                           heads if merged else None, has_bias, eps,
+                           norm_q, norm_k, block_q, block_kv)
+
+
+def _fused_dispatch(q, k, v, key_bias, tabs_q, tabs_k, heads, has_bias, eps,
+                    norm_q, norm_k, block_q, block_kv):
+    merged = heads is not None
+    if merged:
+        sq, skv = q.shape[1], k.shape[1]
+        d = q.shape[2] // heads
+    else:
+        sq, skv = q.shape[2], k.shape[2]
+        d = q.shape[3]
+    on_tpu = jax.default_backend() == "tpu"
+    bq = min(block_q, _round_up(sq, 128))
+    bkv = min(block_kv, _round_up(skv, 128))
+    if merged:
+        # packed head-pair kernel: head pairs share a 128-wide feature slot
+        if on_tpu and heads % 2 == 0 and (2 * d) % _LANES == 0:
+            return _flash_packed_diff(heads, bq, bkv, has_bias, eps,
+                                      norm_q, norm_k, q, k, v, key_bias,
+                                      tabs_q, tabs_k)
+        q, k, v = _split3(q, heads), _split3(k, heads), _split3(v, heads)
+        if on_tpu:
+            out = _flash_fused_diff(bq, bkv, has_bias, eps, norm_q, norm_k,
+                                    q, k, v, key_bias, tabs_q, tabs_k)
+        else:
+            out = _xla_attention_fused(q, k, v, key_bias, tabs_q, tabs_k,
+                                       eps, norm_q, norm_k)
+        return _merge3(out)
+    if on_tpu:
+        return _flash_fused_diff(bq, bkv, has_bias, eps, norm_q, norm_k,
+                                 q, k, v, key_bias, tabs_q, tabs_k)
+    return _xla_attention_fused(q, k, v, key_bias, tabs_q, tabs_k,
+                                eps, norm_q, norm_k)
 
 
 def _xla_attention(q, k, v, key_bias, scale):

@@ -28,8 +28,13 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from tokensgen_tpu.kernels.attention import flash_attention
-from tokensgen_tpu.core.rope import Rope, apply_rotary_emb
+from tokensgen_tpu.kernels.attention import (
+    concat_tabs,
+    fused_flash_attention,
+    make_prologue,
+    slice_tabs,
+)
+from tokensgen_tpu.core.rope import Rope
 from tokensgen_tpu.models.layers import (
     AdaLNZero,
     AdaLayerNormOut,
@@ -102,6 +107,10 @@ class DiTConfig:
     # over heads on this axis (see kernels/attention.py). Use together with
     # sharding/tp.py param specs and an ambient mesh (`jax.set_mesh`).
     tp_axis: Optional[str] = None
+    # evaluate the joint-sequence FeedForward in N sequential sequence chunks
+    # (lax.map): caps the [B, S, 4*inner] gelu intermediate at 1/N size so the
+    # CFG-batched B=2 forward of the 7.17B model fits a 16 GB chip. 1 = off.
+    ff_chunks: int = 1
 
     @property
     def inner_dim(self) -> int:
@@ -167,12 +176,38 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
 
 
-class QKNorm(nn.Module):
-    """Per-head-dim LayerNorm on q/k (eps 1e-6, affine), float32 stats."""
+class _LNParams(nn.Module):
+    """Bare LayerNorm affine parameters (scale, bias) of shape [dim]."""
+
+    dim: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return LayerNorm(epsilon=1e-6, name="ln")(x)
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return scale, bias
+
+
+class QKNorm(nn.Module):
+    """Per-head-dim LayerNorm on q/k (eps 1e-6, affine), float32 stats.
+
+    Holds the parameters only (same pytree paths as before: ``<name>/ln/...``);
+    the normalization itself runs inside the fused attention prologue
+    (`kernels/attention.py::fused_flash_attention`), folded together with RoPE
+    so the HBM-bound elementwise pass disappears from the XLA graph. Call with
+    a tensor for standalone use, or with no argument to get (scale, bias).
+    """
+
+    dim: int = 64
+
+    @nn.compact
+    def __call__(self, x: Optional[jnp.ndarray] = None):
+        scale, bias = _LNParams(self.dim, name="ln")()
+        if x is None:
+            return scale, bias
+        from tokensgen_tpu.models.layers import _layer_norm_with
+
+        return _layer_norm_with(x, scale, bias, epsilon=1e-6)
 
 
 class JointVIPAttention(nn.Module):
@@ -202,36 +237,41 @@ class JointVIPAttention(nn.Module):
     ):
         cfg = self.config
         inner, heads, dt = cfg.inner_dim, cfg.num_attention_heads, cfg.dtype
+        d = cfg.attention_head_dim
+        sm_scale = d ** -0.5
 
-        def attn(*a, **kw):
-            return flash_attention(*a, tp_axis=cfg.tp_axis, **kw)
+        def attn(q_, k_, v_, tq_, tk_, **kw):
+            # merged [B, S, H*D] operands: no head-transposes, no d=64 lane
+            # padding; dispatches to the packed head-pair kernel on TPU
+            return fused_flash_attention(
+                q_, k_, v_, tq_, tk_, heads=heads, norm_q=cfg.qk_norm,
+                norm_k=cfg.qk_norm, tp_axis=cfg.tp_axis, **kw)
 
         def dense(name):
             return nn.Dense(inner, use_bias=cfg.attention_bias, dtype=dt, name=name)
 
-        def rope_video_part(x, rope):
-            if rope is None:
-                return x
-            return jnp.concatenate(
-                [x[:, :, :text_len], apply_rotary_emb(x[:, :, text_len:], rope)], axis=2
-            )
+        def ln_params(name):
+            if cfg.qk_norm:
+                return QKNorm(d, name=name)()
+            return None, None
 
         if cfg.fuse_qkv:
             qkv = nn.Dense(3 * inner, use_bias=cfg.attention_bias, dtype=dt,
                            name="to_qkv")(text_video)
-            qf, kf, vf = jnp.split(qkv, 3, axis=-1)
-            q, k, v = (_split_heads(qf, heads), _split_heads(kf, heads),
-                       _split_heads(vf, heads))
+            q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
-            q = _split_heads(dense("to_q")(text_video), heads)
-            k = _split_heads(dense("to_k")(text_video), heads)
-            v = _split_heads(dense("to_v")(text_video), heads)
-        if cfg.qk_norm:
-            norm_q, norm_k = QKNorm(name="norm_q"), QKNorm(name="norm_k")
-            q, k = norm_q(q), norm_k(k)
-        q = rope_video_part(q, image_rotary_emb)
-        k = rope_video_part(k, image_rotary_emb)
-        out = attn(q, k, v, key_bias=key_bias)  # [B, H, T+Sv, d]
+            q = dense("to_q")(text_video)
+            k = dense("to_k")(text_video)
+            v = dense("to_v")(text_video)
+        # qk-norm and rope run inside the kernel prologue: per-position tables
+        # with identity rows for the text segment (video-only rope)
+        gq, bq = ln_params("norm_q")
+        gk, bk = ln_params("norm_k")
+        s_video = text_video.shape[1] - text_len
+        base_segs = [(None, text_len), (image_rotary_emb, s_video)]
+        tabs_q = make_prologue(d, base_segs, gq, bq, fold=sm_scale)
+        tabs_k = make_prologue(d, base_segs, gk, bk)
+        out = attn(q, k, v, tabs_q, tabs_k, key_bias=key_bias)  # [B, H, T+Sv, d]
 
         vip_attn_out = None
         ar_attn_out = None
@@ -239,76 +279,87 @@ class JointVIPAttention(nn.Module):
         if ft == "4":
             assert vip is not None and ar is not None
             la = ar.shape[1]
+            lv = vip.shape[1]
             tv_len = text_video.shape[1]
             allseq = jnp.concatenate([text_video, vip, ar], axis=1)
-            vq = _split_heads(dense("vip_to_q")(allseq), heads)
-            vk = _split_heads(dense("vip_to_k")(allseq), heads)
-            vv = _split_heads(dense("vip_to_v")(allseq), heads)
-            if cfg.qk_norm:
-                vq = QKNorm(name="vip_norm_q")(vq)
-                vk = QKNorm(name="vip_norm_k")(vk)
-            lv = vip.shape[1]
-            q_tv, q_vip, q_ar = (vq[:, :, :tv_len], vq[:, :, tv_len:tv_len + lv],
-                                 vq[:, :, tv_len + lv:])
-            k_tv, k_vip, k_ar = (vk[:, :, :tv_len], vk[:, :, tv_len:tv_len + lv],
-                                 vk[:, :, tv_len + lv:])
-            v_tv, v_vip, v_ar = (vv[:, :, :tv_len], vv[:, :, tv_len:tv_len + lv],
-                                 vv[:, :, tv_len + lv:])
+            vq = dense("vip_to_q")(allseq)
+            vk = dense("vip_to_k")(allseq)
+            vv = dense("vip_to_v")(allseq)
+            vgq, vbq = ln_params("vip_norm_q")
+            vgk, vbk = ln_params("vip_norm_k")
+            # ar tokens take the leading temporal positions of the vip-image
+            # rope table, video the rest (`:2525-2542`); vip takes the condition
+            # table. Segment layout of allseq: [text ‖ video ‖ vip ‖ ar].
             if vip_image_rotary_emb is not None:
-                # ar tokens take the leading temporal positions of the vip-image
-                # rope table (`:2525-2542`)
-                comb_q = jnp.concatenate([q_ar, q_tv[:, :, text_len:]], axis=2)
-                comb_q = apply_rotary_emb(comb_q, vip_image_rotary_emb)
-                q_ar = comb_q[:, :, :la]
-                q_tv = jnp.concatenate([q_tv[:, :, :text_len], comb_q[:, :, la:]], axis=2)
-                comb_k = jnp.concatenate([k_ar, k_tv[:, :, text_len:]], axis=2)
-                comb_k = apply_rotary_emb(comb_k, vip_image_rotary_emb)
-                k_ar = comb_k[:, :, :la]
-                k_tv = jnp.concatenate([k_tv[:, :, :text_len], comb_k[:, :, la:]], axis=2)
-            if vip_condition_rotary_emb is not None:
-                q_vip = apply_rotary_emb(q_vip, vip_condition_rotary_emb)
-                k_vip = apply_rotary_emb(k_vip, vip_condition_rotary_emb)
+                vi_cos, vi_sin = vip_image_rotary_emb
+                ar_rope = (vi_cos[..., :la, :], vi_sin[..., :la, :])
+                vid_rope = (vi_cos[..., la:, :], vi_sin[..., la:, :])
+            else:
+                ar_rope = vid_rope = None
+            segs = [(None, text_len), (vid_rope, tv_len - text_len),
+                    (vip_condition_rotary_emb, lv), (ar_rope, la)]
+            vtabs_q = make_prologue(d, segs, vgq, vbq, fold=sm_scale)
+            vtabs_k = make_prologue(d, segs, vgk, vbk)
+            q_tv, q_vip, q_ar = (vq[:, :tv_len], vq[:, tv_len:tv_len + lv],
+                                 vq[:, tv_len + lv:])
+            k_tv, k_vip, k_ar = (vk[:, :tv_len], vk[:, tv_len:tv_len + lv],
+                                 vk[:, tv_len + lv:])
+            v_tv, v_vip, v_ar = (vv[:, :tv_len], vv[:, tv_len:tv_len + lv],
+                                 vv[:, tv_len + lv:])
+            tq_tv = slice_tabs(vtabs_q, 0, tv_len)
+            tq_vip = slice_tabs(vtabs_q, tv_len, tv_len + lv)
+            tq_ar = slice_tabs(vtabs_q, tv_len + lv, tv_len + lv + la)
+            tk_tv = slice_tabs(vtabs_k, 0, tv_len)
+            tk_vip = slice_tabs(vtabs_k, tv_len, tv_len + lv)
+            tk_ar = slice_tabs(vtabs_k, tv_len + lv, tv_len + lv + la)
 
-            cross_vip = attn(q_tv, k_vip, v_vip)
-            cross_ar = attn(q_tv, k_ar, v_ar)
+            cross_vip = attn(q_tv, k_vip, v_vip, tq_tv, tk_vip)
+            cross_ar = attn(q_tv, k_ar, v_ar, tq_tv, tk_ar)
             scale = cfg.vip.scale if vip_scale is None else vip_scale
             scale = jnp.asarray(scale, dtype=out.dtype)
             scale = scale.reshape(scale.shape + (1,) * (out.ndim - scale.ndim))
             out = out + scale * cross_vip + cfg.vip.scale_ar * cross_ar
             arvip = attn(
-                jnp.concatenate([q_ar, q_vip], axis=2),
-                jnp.concatenate([k_tv, k_ar, k_vip], axis=2),
-                jnp.concatenate([v_tv, v_ar, v_vip], axis=2),
+                jnp.concatenate([q_ar, q_vip], axis=1),
+                jnp.concatenate([k_tv, k_ar, k_vip], axis=1),
+                jnp.concatenate([v_tv, v_ar, v_vip], axis=1),
+                concat_tabs(tq_ar, tq_vip),
+                concat_tabs(tk_tv, tk_ar, tk_vip),
             )
-            ar_attn_out, vip_attn_out = arvip[:, :, :la], arvip[:, :, la:]
+            ar_attn_out, vip_attn_out = arvip[:, :la], arvip[:, la:]
         elif cfg.vip is not None:
             assert vip is not None
             # "1": vip-projected queries/keys over [text‖video]; "2"/"3": video only
             tv_input = text_video if ft == "1" else text_video[:, text_len:]
             tv_len = tv_input.shape[1]
+            lv = vip.shape[1]
             both = jnp.concatenate([tv_input, vip], axis=1)
-            vq = _split_heads(dense("vip_to_q")(both), heads)
-            vk = _split_heads(dense("vip_to_k")(both), heads)
-            vv = _split_heads(dense("vip_to_v")(both), heads)
-            if cfg.qk_norm:
-                vq = QKNorm(name="vip_norm_q")(vq)
-                vk = QKNorm(name="vip_norm_k")(vk)
-            q_tv, q_vip = vq[:, :, :tv_len], vq[:, :, tv_len:]
-            k_tv, k_vip = vk[:, :, :tv_len], vk[:, :, tv_len:]
-            v_tv, v_vip = vv[:, :, :tv_len], vv[:, :, tv_len:]
+            vq = dense("vip_to_q")(both)
+            vk = dense("vip_to_k")(both)
+            vv = dense("vip_to_v")(both)
+            vgq, vbq = ln_params("vip_norm_q")
+            vgk, vbk = ln_params("vip_norm_k")
+            # "1": text identity + video vip-image rope; "2"/"3": whole tv_input
+            # (video only) gets the vip-image rope. vip segment: condition rope
+            # on keys always, on queries except "3" (whose vip queries are
+            # unused — the vip stream passes through, `:2404-2416`).
             if ft == "1":
-                q_tv = rope_video_part(q_tv, vip_image_rotary_emb)
-                k_tv = rope_video_part(k_tv, vip_image_rotary_emb)
-            elif vip_image_rotary_emb is not None:
-                q_tv = apply_rotary_emb(q_tv, vip_image_rotary_emb)
-                k_tv = apply_rotary_emb(k_tv, vip_image_rotary_emb)
-            if vip_condition_rotary_emb is not None and ft != "3":
-                q_vip = apply_rotary_emb(q_vip, vip_condition_rotary_emb)
-            if vip_condition_rotary_emb is not None:
-                k_vip = apply_rotary_emb(k_vip, vip_condition_rotary_emb)
+                tv_segs = [(None, text_len), (vip_image_rotary_emb, tv_len - text_len)]
+            else:
+                tv_segs = [(vip_image_rotary_emb, tv_len)]
+            vtabs_q = make_prologue(
+                d, tv_segs + [(vip_condition_rotary_emb, lv)], vgq, vbq,
+                fold=sm_scale)
+            vtabs_k = make_prologue(
+                d, tv_segs + [(vip_condition_rotary_emb, lv)], vgk, vbk)
+            q_tv, q_vip = vq[:, :tv_len], vq[:, tv_len:]
+            k_tv, k_vip = vk[:, :tv_len], vk[:, tv_len:]
+            v_tv, v_vip = vv[:, :tv_len], vv[:, tv_len:]
 
             # (text_)video -> vip cross attention, added with per-sample scale
-            tv_cross = attn(q_tv, k_vip, v_vip)
+            tv_cross = attn(q_tv, k_vip, v_vip,
+                            slice_tabs(vtabs_q, 0, tv_len),
+                            slice_tabs(vtabs_k, tv_len, tv_len + lv))
             scale = cfg.vip.scale if vip_scale is None else vip_scale
             scale = jnp.asarray(scale, dtype=out.dtype)
             scale = scale.reshape(scale.shape + (1,) * (out.ndim - scale.ndim))
@@ -316,30 +367,30 @@ class JointVIPAttention(nn.Module):
                 out = out + scale * tv_cross
             else:  # video positions only; text untouched (`:2271-2272,2401`)
                 out = jnp.concatenate(
-                    [out[:, :, :text_len], out[:, :, text_len:] + scale * tv_cross],
-                    axis=2,
+                    [out[:, :text_len], out[:, text_len:] + scale * tv_cross],
+                    axis=1,
                 )
             if ft != "3":
                 # vip -> [(text_)video ‖ vip] (`:2120-2125,2264-2269`)
                 vip_attn_out = attn(
                     q_vip,
-                    jnp.concatenate([k_tv, k_vip], axis=2),
-                    jnp.concatenate([v_tv, v_vip], axis=2),
+                    jnp.concatenate([k_tv, k_vip], axis=1),
+                    jnp.concatenate([v_tv, v_vip], axis=1),
+                    slice_tabs(vtabs_q, tv_len, tv_len + lv),
+                    vtabs_k,
                 )
 
         if ft == "4":
             # [text ‖ ar ‖ video ‖ vip] through the shared to_out (`:2634-2641`)
             merged = jnp.concatenate(
-                [out[:, :, :text_len], ar_attn_out, out[:, :, text_len:], vip_attn_out],
-                axis=2,
+                [out[:, :text_len], ar_attn_out, out[:, text_len:], vip_attn_out],
+                axis=1,
             )
         elif vip_attn_out is not None:
-            merged = jnp.concatenate([out, vip_attn_out], axis=2)
+            merged = jnp.concatenate([out, vip_attn_out], axis=1)
         else:
             merged = out
-        proj = nn.Dense(inner, use_bias=True, dtype=dt, name="to_out")(
-            _merge_heads(merged)
-        )
+        proj = nn.Dense(inner, use_bias=True, dtype=dt, name="to_out")(merged)
         text_out = proj[:, :text_len]
         if cfg.vip is not None and ft != "3":
             vip_len = vip.shape[1]
@@ -409,7 +460,28 @@ class DiTBlock(nn.Module):
             hidden, text, temb
         )
         ff = FeedForward(cfg.inner_dim, dtype=cfg.dtype, name="ff")
-        ff_out = ff(jnp.concatenate([norm_t, norm_h], axis=1))
+
+        def ff_apply(x):
+            n = cfg.ff_chunks
+            if n <= 1 or x.shape[1] % n:
+                return ff(x)
+            bx, sx, cx = x.shape
+            chunks = x.reshape(bx, n, sx // n, cx).transpose(1, 0, 2, 3)
+            scan_fn = nn.scan(
+                lambda mdl, carry, xc: (carry, mdl(xc)),
+                variable_broadcast="params", split_rngs={"params": False},
+                in_axes=0, out_axes=0,
+            )
+            _, out = scan_fn(ff, None, chunks)
+            return out.transpose(1, 0, 2, 3).reshape(bx, sx, cx)
+
+        joint_in = jnp.concatenate([norm_t, norm_h], axis=1)
+        pad_s = -joint_in.shape[1] % cfg.ff_chunks
+        if cfg.ff_chunks > 1 and pad_s:
+            ff_out = ff_apply(jnp.pad(joint_in, ((0, 0), (0, pad_s), (0, 0))))
+            ff_out = ff_out[:, :joint_in.shape[1]]
+        else:
+            ff_out = ff_apply(joint_in)
         hidden = hidden + gate2 * ff_out[:, text_len:]
         text = text + t_gate2 * ff_out[:, :text_len]
         if cfg.vip is not None and ft != "3":

@@ -71,6 +71,17 @@ class LayerNorm(nn.Module):
         return y.astype(orig_dtype)
 
 
+def _layer_norm_with(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                     epsilon: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm with explicit affine params (float32 stats)."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jnp.reciprocal(jnp.sqrt(var + epsilon))
+    return (y * scale + bias).astype(orig_dtype)
+
+
 class FeedForward(nn.Module):
     """gelu-approximate MLP (diffusers `FeedForward` semantics, mult=4)."""
 

@@ -10,7 +10,8 @@ Own implementation rather than a transformers dependency: encoder-only stack wit
 Text encoding is a one-time cost per prompt (cacheable), so attention here is a
 plain XLA einsum rather than the Pallas kernel (which has no per-head bias path).
 
-`convert/text_encoder.py` imports HF torch checkpoints into this module's params.
+`convert/torch_weights.py::convert_t5` imports HF torch checkpoints into this
+module's params.
 """
 
 from __future__ import annotations
