@@ -139,3 +139,62 @@ def test_blocked_backward_matches_autodiff():
     np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(dbias), np.asarray(dbias_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_prologue_kernel_interpret_mode():
+    """Run the fused qk-norm+rope 4-D kernel in interpreter mode on CPU against
+    the XLA prologue + attention reference."""
+    from tokensgen_tpu.kernels import attention as A
+
+    rng = np.random.default_rng(7)
+    b, h, sq, skv, d = 1, 2, 256, 512, 64
+    q = jnp.asarray(rng.normal(size=(b, h, sq, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, skv, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, skv, d)).astype(np.float32))
+    bias = jnp.zeros((b, skv), jnp.float32)
+    g = jnp.asarray(np.abs(rng.normal(size=(d,))).astype(np.float32))
+    bq_ = jnp.asarray((0.1 * rng.normal(size=(d,))).astype(np.float32))
+    cos, sin = np.cos(rng.normal(size=(skv, d))), np.sin(rng.normal(size=(skv, d)))
+    # a fake rope table over the tail positions; identity over a text prefix
+    rope_q = (jnp.asarray(cos[:sq - 32].astype(np.float32)),
+              jnp.asarray(sin[:sq - 32].astype(np.float32)))
+    rope_k = (jnp.asarray(cos.astype(np.float32)[:skv - 32]),
+              jnp.asarray(sin.astype(np.float32)[:skv - 32]))
+    scale = d**-0.5
+    tq = A.make_prologue(d, [(None, 32), (rope_q, sq - 32)], g, bq_, fold=scale)
+    tk = A.make_prologue(d, [(None, 32), (rope_k, skv - 32)], g, bq_)
+    out = A._flash_fused_tpu(q, k, v, bias, tq, tk, 128, 256, False, 1e-6,
+                             True, True, interpret=True)
+    ref = A._xla_attention_fused(q, k, v, bias, tq, tk, 1e-6, True, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_packed_headpair_kernel_interpret_mode():
+    """Run the packed head-pair kernel (production TPU path) in interpreter
+    mode on CPU: merged [B,S,H*D] operands, block-diagonal matmuls."""
+    from tokensgen_tpu.kernels import attention as A
+
+    rng = np.random.default_rng(8)
+    b, h, sq, skv, d = 1, 4, 256, 512, 64
+    qm = jnp.asarray(rng.normal(size=(b, sq, h * d)).astype(np.float32))
+    km = jnp.asarray(rng.normal(size=(b, skv, h * d)).astype(np.float32))
+    vm = jnp.asarray(rng.normal(size=(b, skv, h * d)).astype(np.float32))
+    bias = np.zeros((b, skv), np.float32)
+    bias[0, skv - 17:] = -1e9  # real key mask exercises the bias path
+    bias = jnp.asarray(bias)
+    g = jnp.asarray(np.abs(rng.normal(size=(d,))).astype(np.float32))
+    bq_ = jnp.asarray((0.1 * rng.normal(size=(d,))).astype(np.float32))
+    ang_q = rng.normal(size=(sq, d)).astype(np.float32)
+    ang_k = rng.normal(size=(skv, d)).astype(np.float32)
+    rope_q = (jnp.asarray(np.cos(ang_q)), jnp.asarray(np.sin(ang_q)))
+    rope_k = (jnp.asarray(np.cos(ang_k)), jnp.asarray(np.sin(ang_k)))
+    scale = d**-0.5
+    tq = A.make_prologue(d, [(rope_q, sq)], g, bq_, fold=scale)
+    tk = A.make_prologue(d, [(rope_k, skv)], g, bq_)
+    out = A._flash_fused_packed_tpu(qm, km, vm, bias, tq, tk, h, 128, 256,
+                                    True, 1e-6, True, True, interpret=True)
+    ref4 = A._xla_attention_fused(A._split3(qm, h), A._split3(km, h),
+                                  A._split3(vm, h), bias, tq, tk, 1e-6,
+                                  True, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(A._merge3(ref4)),
+                               rtol=2e-4, atol=2e-4)

@@ -176,18 +176,6 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
 
 
-class _LNParams(nn.Module):
-    """Bare LayerNorm affine parameters (scale, bias) of shape [dim]."""
-
-    dim: int
-
-    @nn.compact
-    def __call__(self):
-        scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
-        return scale, bias
-
-
 class QKNorm(nn.Module):
     """Per-head-dim LayerNorm on q/k (eps 1e-6, affine), float32 stats.
 
@@ -202,11 +190,11 @@ class QKNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: Optional[jnp.ndarray] = None):
-        scale, bias = _LNParams(self.dim, name="ln")()
+        from tokensgen_tpu.models.layers import LNParams, _layer_norm_with
+
+        scale, bias = LNParams(self.dim, name="ln")()
         if x is None:
             return scale, bias
-        from tokensgen_tpu.models.layers import _layer_norm_with
-
         return _layer_norm_with(x, scale, bias, epsilon=1e-6)
 
 

@@ -155,8 +155,22 @@ class CausalConv3d(nn.Module):
 
 
 def _nearest_resize(x: jnp.ndarray, size_thw: Tuple[int, int, int]) -> jnp.ndarray:
-    """Nearest-neighbour resize of [B, T, H, W, C] to (T', H', W')."""
-    b, _, _, _, c = x.shape
+    """Nearest-neighbour resize of [B, T, H, W, C] to (T', H', W').
+
+    Integer upscale ratios (every decoder level: x1/x2/x4/x8) lower to
+    `jnp.repeat` broadcasts, which XLA fuses into the consumer — unlike the
+    general gather-based `jax.image.resize` (a ~2.7 ms materialized pass at
+    the 240x360 level)."""
+    b, t, h, w, c = x.shape
+    tt, th, tw = size_thw
+    if tt % t == 0 and th % h == 0 and tw % w == 0:
+        if tt != t:
+            x = jnp.repeat(x, tt // t, axis=1)
+        if th != h:
+            x = jnp.repeat(x, th // h, axis=2)
+        if tw != w:
+            x = jnp.repeat(x, tw // w, axis=3)
+        return x
     return jax.image.resize(x, (b,) + size_thw + (c,), method="nearest")
 
 
@@ -171,16 +185,25 @@ class SpatialNorm3D(nn.Module):
     @nn.compact
     def __call__(self, f: jnp.ndarray, zq: jnp.ndarray, cache: Optional[Cache]) -> jnp.ndarray:
         t = f.shape[1]
-        if t > 1 and t % 2 == 1:
-            z_first = _nearest_resize(zq[:, :1], (1,) + f.shape[2:4])
-            z_rest = _nearest_resize(zq[:, 1:], (t - 1,) + f.shape[2:4])
-            zq = jnp.concatenate([z_first, z_rest], axis=1)
-        else:
-            zq = _nearest_resize(zq, (t,) + f.shape[2:4])
-        norm_f = GroupNorm32(self.groups, name="norm_layer")(f)
+        # The 1x1x1 modulation convs are pointwise-linear, so they commute
+        # exactly with the nearest resize: apply them at zq's (latent)
+        # resolution — 64x fewer conv FLOPs and, far more importantly, the two
+        # [*, H, W, C] full-resolution conv outputs are never materialized
+        # (the repeat-resize broadcasts fuse into the modulate consumer).
         conv_y = CausalConv3d(self.f_channels, (1, 1, 1), dtype=self.dtype, name="conv_y")
         conv_b = CausalConv3d(self.f_channels, (1, 1, 1), dtype=self.dtype, name="conv_b")
-        return norm_f * conv_y(zq, cache) + conv_b(zq, cache)
+        y_small = conv_y(zq, cache)
+        b_small = conv_b(zq, cache)
+
+        def resize(z):
+            if t > 1 and t % 2 == 1:
+                z_first = _nearest_resize(z[:, :1], (1,) + f.shape[2:4])
+                z_rest = _nearest_resize(z[:, 1:], (t - 1,) + f.shape[2:4])
+                return jnp.concatenate([z_first, z_rest], axis=1)
+            return _nearest_resize(z, (t,) + f.shape[2:4])
+
+        norm_f = GroupNorm32(self.groups, name="norm_layer")(f)
+        return norm_f * resize(y_small) + resize(b_small)
 
 
 class ResnetBlock3D(nn.Module):
