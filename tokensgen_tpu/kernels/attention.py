@@ -452,42 +452,46 @@ def _flash_attention_tpu(
 def _blocked_attention_bwd(q, k, v, key_bias, out, g, scale):
     """Flash-style attention backward in pure XLA: recompute p per q-block
     inside a `lax.scan` so no [Sq, Skv] tensor for the whole sequence is ever
-    materialised. Float32 math; block size adapts to a ~500 MB logits budget.
-    Returns (dq, dk, dv, dbias)."""
+    materialised. Matmul operands stay bf16 with f32 accumulation
+    (`preferred_element_type`) — all-f32 einsums ran at f32 MXU rate, 1865 ms
+    vs 62 ms forward at the 18k joint shape; softmax/ds arithmetic is f32.
+    Block size adapts to a ~500 MB logits budget. Returns (dq, dk, dv, dbias)."""
     b, h, sq, d = q.shape
     skv = k.shape[2]
-    qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
-    gf = g.astype(jnp.float32)
-    dsum = jnp.sum(gf * out.astype(jnp.float32), axis=-1)  # [B,H,Sq]
+    f32 = jnp.float32
+    mm = functools.partial(jnp.einsum, preferred_element_type=f32)
+    dsum = jnp.sum(g.astype(f32) * out.astype(f32), axis=-1)  # [B,H,Sq]
 
     per_row = max(1, b * h * skv * 4)
     bq = int(5e8 // per_row)
     bq = max(64, min(512, (bq // 64) * 64 or 64))
     sq_p = _round_up(sq, bq)
     pad = sq_p - sq
-    qp = jnp.pad(qf, ((0, 0), (0, 0), (0, pad), (0, 0)))
-    gp = jnp.pad(gf, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    gp = jnp.pad(g.astype(q.dtype), ((0, 0), (0, 0), (0, pad), (0, 0)))
     dp_pad = jnp.pad(dsum, ((0, 0), (0, 0), (0, pad)))
-    biasb = key_bias.astype(jnp.float32)[:, None, None, :]  # [B,1,1,Skv]
+    biasb = key_bias.astype(f32)[:, None, None, :]  # [B,1,1,Skv]
 
     def step(carry, i):
         dk_acc, dv_acc, dbias_acc = carry
         qb = jax.lax.dynamic_slice_in_dim(qp, i * bq, bq, 2)
         gb = jax.lax.dynamic_slice_in_dim(gp, i * bq, bq, 2)
         db = jax.lax.dynamic_slice_in_dim(dp_pad, i * bq, bq, 2)
-        s = jnp.einsum("bhqd,bhkd->bhqk", qb, kf) * scale + biasb
+        s = mm("bhqd,bhkd->bhqk", qb, k) * scale + biasb
         p = jax.nn.softmax(s, axis=-1)
+        pb = p.astype(q.dtype)
         # padded q rows have g == 0, so every term below vanishes for them
-        dv_acc = dv_acc + jnp.einsum("bhqk,bhqd->bhkd", p, gb)
-        dpv = jnp.einsum("bhqd,bhkd->bhqk", gb, vf)
+        dv_acc = dv_acc + mm("bhqk,bhqd->bhkd", pb, gb)
+        dpv = mm("bhqd,bhkd->bhqk", gb, v)
         ds = p * (dpv - db[..., None])
-        dq_b = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * scale
-        dk_acc = dk_acc + jnp.einsum("bhqk,bhqd->bhkd", ds, qb) * scale
+        dsb = ds.astype(q.dtype)
+        dq_b = mm("bhqk,bhkd->bhqd", dsb, k) * scale
+        dk_acc = dk_acc + mm("bhqk,bhqd->bhkd", dsb, qb) * scale
         dbias_acc = dbias_acc + jnp.sum(ds, axis=(1, 2))
         return (dk_acc, dv_acc, dbias_acc), dq_b
 
-    init = (jnp.zeros_like(kf), jnp.zeros_like(vf),
-            jnp.zeros((b, skv), jnp.float32))
+    init = (jnp.zeros(k.shape, f32), jnp.zeros(v.shape, f32),
+            jnp.zeros((b, skv), f32))
     (dk, dv, dbias), dqs = jax.lax.scan(step, init, jnp.arange(sq_p // bq))
     dq = jnp.moveaxis(dqs, 0, 2).reshape(b, h, sq_p, d)[:, :, :sq]
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
