@@ -198,3 +198,52 @@ def test_packed_headpair_kernel_interpret_mode():
                                   True, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(A._merge3(ref4)),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_packed_bwd_kernel_interpret_mode():
+    """The packed Pallas backward (VMEM-resident logits) against jax.vjp of
+    the XLA attention on prologued inputs, including the key-bias grad."""
+    from tokensgen_tpu.kernels import attention as A
+
+    rng = np.random.default_rng(11)
+    b, h, sq, skv, d = 1, 4, 256, 384, 64
+    qn = jnp.asarray(rng.normal(size=(b, sq, h * d)).astype(np.float32))
+    kn = jnp.asarray(rng.normal(size=(b, skv, h * d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, skv, h * d)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(b, sq, h * d)).astype(np.float32))
+    bias = np.zeros((b, skv), np.float32)
+    bias[0, skv - 9:] = -1e9
+    bias = jnp.asarray(bias)
+
+    def f(qn_, kn_, v_, bias_):
+        out4 = A._xla_attention(A._split3(qn_, h), A._split3(kn_, h),
+                                A._split3(v_, h), bias_, 1.0)
+        return A._merge3(out4)
+
+    out, vjp = jax.vjp(f, qn, kn, v, bias)
+    dq_ref, dk_ref, dv_ref, dbias_ref = vjp(g)
+
+    # lse/dsum exactly as the forward kernel would save them
+    s = jnp.einsum("bhqd,bhkd->bhqk", A._split3(qn, h).astype(jnp.float32),
+                   A._split3(kn, h).astype(jnp.float32)) + bias[:, None, None, :]
+    lse4 = jax.nn.logsumexp(s, axis=-1)  # [B, H, Sq]
+    hp = h // 2
+    bq = 128
+    sq_p = sq
+    lse = lse4.reshape(b, hp, 2, sq)
+    dsum = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
+                   keepdims=True)
+    dsum = (g.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
+        b, sq, hp, 2, d).sum(-1).transpose(0, 2, 3, 1)
+
+    dqn, dkn, dvm, dbias = A._flash_packed_bwd_tpu(
+        qn, kn, v, g, lse, dsum, bias, h, bq, 128, True, interpret=True)
+    np.testing.assert_allclose(np.asarray(dqn), np.asarray(dq_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dkn), np.asarray(dk_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dvm), np.asarray(dv_ref),
+                               rtol=2e-4, atol=2e-4)
+    # padded/-1e9 keys get ~0 grad; compare the finite-bias positions
+    np.testing.assert_allclose(np.asarray(dbias), np.asarray(dbias_ref),
+                               rtol=2e-4, atol=2e-4)

@@ -546,13 +546,22 @@ _flash_attention_tpu_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 # ---------------------------------------------------------------------------
 
 
+_LN2 = 0.6931471805599453
+
+
 def _flash_packed_kernel(
     q_ref, k_ref, v_ref, bias_ref,
     cq_ref, sq_ref, aq_ref, rq_ref,
     ck_ref, sk_ref, ak_ref, rk_ref, mu_ref,
-    o_ref, m_scr, l_scr, acc_scr, qn_scr, kt_scr, v2_scr, *,
+    *refs,
     has_bias: bool, block_kv: int, eps: float, norm_q: bool, norm_k: bool,
+    with_lse: bool = False,
 ):
+    if with_lse:
+        o_ref, lse_ref, m_scr, l_scr, acc_scr, qn_scr, kt_scr, v2_scr = refs
+    else:
+        o_ref, m_scr, l_scr, acc_scr, qn_scr, kt_scr, v2_scr = refs
+        lse_ref = None
     i = pl.program_id(2)
     j = pl.program_id(3)
     num_kv = pl.num_programs(3)
@@ -633,6 +642,14 @@ def _flash_packed_kernel(
     def _finalize():
         l2 = jnp.where(lanes < dh, l_scr[0, :, :1], l_scr[1, :, :1])
         o_ref[0, 0] = (acc_scr[:] / l2).astype(o_ref.dtype)
+        if with_lse:
+            # natural-domain logsumexp per row: lane 0 = head A, lane 1 = B
+            # (the backward kernel re-lays these out in XLA)
+            lse_a = m_scr[0, :, :1] * _LN2 + jnp.log(l_scr[0, :, :1])
+            lse_b = m_scr[1, :, :1] * _LN2 + jnp.log(l_scr[1, :, :1])
+            lane1 = jax.lax.broadcasted_iota(jnp.int32, lse_ref[0, 0].shape, 1)
+            lse_ref[0, 0] = jnp.where(lane1 == 0, lse_a,
+                                      jnp.where(lane1 == 1, lse_b, 0.0))
 
 
 def _pack_tabs(tabs):
@@ -649,13 +666,14 @@ def _pack_tabs(tabs):
 @functools.partial(
     jax.jit,
     static_argnames=("heads", "block_q", "block_kv", "has_bias", "eps",
-                     "norm_q", "norm_k", "interpret"))
+                     "norm_q", "norm_k", "interpret", "with_lse"))
 def _flash_fused_packed_tpu(
     q, k, v, key_bias, tabs_q, tabs_k, heads: int,
     block_q: int, block_kv: int, has_bias: bool, eps: float,
     norm_q: bool, norm_k: bool, interpret: bool = False,
+    with_lse: bool = False,
 ):
-    """q/k/v: merged [B, S, H*D]; returns [B, Sq, H*D]."""
+    """q/k/v: merged [B, S, H*D]; returns [B, Sq, H*D] (+ row-layout lse)."""
     b, sq, hd = q.shape
     skv = k.shape[1]
     d = hd // heads
@@ -698,10 +716,18 @@ def _flash_fused_packed_tpu(
         return pl.BlockSpec((1, blk, d2), imap)
 
     grid = (b, hp, sq_p // block_q, skv_p // block_kv)
-    out = pl.pallas_call(
+    out_specs = pl.BlockSpec(
+        (1, 1, block_q, d2), lambda b_, h_, i, j: (b_, h_, i, 0))
+    out_shapes = jax.ShapeDtypeStruct((b, hp, sq_p, d2), q.dtype)
+    if with_lse:
+        out_specs = (out_specs, pl.BlockSpec(
+            (1, 1, block_q, d2), lambda b_, h_, i, j: (b_, h_, i, 0)))
+        out_shapes = (out_shapes,
+                      jax.ShapeDtypeStruct((b, hp, sq_p, d2), jnp.float32))
+    res = pl.pallas_call(
         functools.partial(
             _flash_packed_kernel, has_bias=has_bias, block_kv=block_kv,
-            eps=eps, norm_q=norm_q, norm_k=norm_k),
+            eps=eps, norm_q=norm_q, norm_k=norm_k, with_lse=with_lse),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d2), lambda b_, h_, i, j: (b_, h_, i, 0)),
@@ -718,10 +744,8 @@ def _flash_fused_packed_tpu(
             pl.BlockSpec((d2, d2), lambda b_, h_, i, j: (0, 0)),
             pl.BlockSpec((d2, d2), lambda b_, h_, i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d2), lambda b_, h_, i, j: (b_, h_, i, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, hp, sq_p, d2), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((2, block_q, _LANES), jnp.float32),
             pltpu.VMEM((2, block_q, _LANES), jnp.float32),
@@ -736,8 +760,223 @@ def _flash_fused_packed_tpu(
         ),
         interpret=interpret,
     )(qp, kp, vp, key_bias, cq, sq_t, aq, rq, ck, sk, ak, rk, mu)
+    out, lse = res if with_lse else (res, None)
     out = out[:, :, :sq, :].transpose(0, 2, 1, 3).reshape(b, sq, hd)
+    if with_lse:
+        # [B, HP, Sq_p, 128] (lanes 0/1 = heads A/B) -> row layout
+        # [B, HP, 2, Sq_p] for the backward kernel's lane-wise broadcasts
+        lse = lse[:, :, :, :2].transpose(0, 1, 3, 2)  # -> [B, HP, 2, Sq_p]
+        return out, lse
     return out
+
+
+# ---------------------------------------------------------------------------
+# Packed attention backward kernel
+#
+# The XLA blocked backward streams every [Sq, Skv] logit block through HBM
+# (~60 GB per pass at the 18k joint shape -> ~700 ms vs the 62 ms forward).
+# This kernel keeps all logit tiles in VMEM. Grid = (B, HP, j_kv, i_q): the
+# inner i sweep accumulates dk/dv for kv block j in scratch; dq accumulates
+# TRANSPOSED (dq^T[d, Sq]) into a grid-resident output block; the q-side
+# operands (blockdiag Q / Q^T / G / G^T built like the forward's K scratch)
+# are filled during the first j sweep and persist for all later j. All score
+# work is recomputed from the saved natural-domain logsumexp:
+#
+#   p' = exp(kn_j @ qn_i^T + bias - lse)        [Bk, 2*Bq]  (transposed tiles)
+#   dv_j += p' @ blockdiag(gA, gB)
+#   ds' = p' * (v_j @ blockdiag(gA^T, gB^T) - dsum)
+#   dk_j += ds' @ blockdiag(qA, qB)
+#   dq^T[:, i] += [kA^T @ dsA'; kB^T @ dsB']    (two half matmuls)
+#   dbias_j += row-sums of ds'
+#
+# qn/kn are the XLA-prologued tensors, so gradients flow to raw q/k and the
+# prologue tables through `jax.vjp` of the (cheap, elementwise) prologue.
+# ---------------------------------------------------------------------------
+
+
+def _packed_bwd_kernel(
+    qn_ref, kn_ref, v_ref, g_ref, lse_ref, dsum_ref, bias_ref,
+    dq_ref, dk_ref, dv_ref, dbias_ref,
+    qt_scr, q2_scr, g2_scr, gt_scr, kt_scr, dk_scr, dv_scr, dbias_scr, *,
+    block_q: int, has_bias: bool,
+):
+    j = pl.program_id(2)
+    i = pl.program_id(3)
+    num_i = pl.num_programs(3)
+    d2 = qn_ref.shape[-1]
+    dh = d2 // 2
+    bq = qn_ref.shape[2]
+    f32 = jnp.float32
+
+    @pl.when(j == 0)
+    def _build_q_side():
+        # incremental build during the first kv sweep: block i is ready
+        # exactly when this (j=0, i) step needs it, complete before j=1
+        qn = qn_ref[0, 0]  # [Bq, 128]
+        g = g_ref[0, 0]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, qn.shape, 1)
+        q2_scr[pl.ds(2 * i * block_q, block_q), :] = jnp.where(lanes < dh, qn, 0)
+        q2_scr[pl.ds(2 * i * block_q + block_q, block_q), :] = jnp.where(
+            lanes >= dh, qn, 0)
+        g2_scr[pl.ds(2 * i * block_q, block_q), :] = jnp.where(lanes < dh, g, 0)
+        g2_scr[pl.ds(2 * i * block_q + block_q, block_q), :] = jnp.where(
+            lanes >= dh, g, 0)
+        qt = qn.T  # [128, Bq]
+        gt = g.T
+        rows = jax.lax.broadcasted_iota(jnp.int32, qt.shape, 0)
+        qt_scr[:, pl.ds(2 * i * block_q, block_q)] = jnp.where(rows < dh, qt, 0)
+        qt_scr[:, pl.ds(2 * i * block_q + block_q, block_q)] = jnp.where(
+            rows >= dh, qt, 0)
+        gt_scr[:, pl.ds(2 * i * block_q, block_q)] = jnp.where(rows < dh, gt, 0)
+        gt_scr[:, pl.ds(2 * i * block_q + block_q, block_q)] = jnp.where(
+            rows >= dh, gt, 0)
+
+    @pl.when(i == 0)
+    def _init_kv():
+        kt_scr[:] = kn_ref[0, 0].T  # [128, Bk], both heads' halves
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+        dbias_scr[:] = jnp.zeros_like(dbias_scr)
+
+    @pl.when(jnp.logical_and(j == 0, i == 0))
+    def _init_dq():
+        dq_ref[0, 0] = jnp.zeros_like(dq_ref[0, 0])
+
+    # transposed score tile [Bk, 2*Bq] = [sA^T | sB^T], natural domain
+    s2 = jax.lax.dot_general(
+        kn_ref[0, 0], qt_scr[:, pl.ds(2 * i * block_q, 2 * block_q)],
+        (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    )
+    # rows of lse_ref[0,0] ([2, Bq]): 0 = head A, 1 = head B -> [1, 2*Bq]
+    lse_row = jnp.concatenate(
+        [lse_ref[0, 0, :1, :], lse_ref[0, 0, 1:2, :]], axis=1)
+    dsum_row = jnp.concatenate(
+        [dsum_ref[0, 0, :1, :], dsum_ref[0, 0, 1:2, :]], axis=1)
+    if has_bias:
+        s2 = s2 + bias_ref[0, :, :1]  # per-key bias: column broadcast
+    p2 = jnp.exp(s2 - lse_row)  # [Bk, 2*Bq]
+    p2b = p2.astype(v_ref.dtype)
+
+    dv_scr[:, :] += jax.lax.dot_general(
+        p2b, g2_scr[pl.ds(2 * i * block_q, 2 * block_q), :],
+        (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    dpv = jax.lax.dot_general(
+        v_ref[0, 0], gt_scr[:, pl.ds(2 * i * block_q, 2 * block_q)],
+        (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    ds = p2 * (dpv - dsum_row)
+    dsb = ds.astype(v_ref.dtype)
+    dk_scr[:, :] += jax.lax.dot_general(
+        dsb, q2_scr[pl.ds(2 * i * block_q, 2 * block_q), :],
+        (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    if has_bias:
+        dbias_scr[:, :1] += jnp.sum(ds, axis=1, keepdims=True)
+
+    # dq^T accumulation: dqH^T[dh, Bq] += kH^T [dh, Bk] @ dsH^T [Bk, Bq]
+    ds_a = dsb[:, :block_q]
+    ds_b = dsb[:, block_q:]
+    kt = kt_scr[:]
+    dq_a = jax.lax.dot_general(
+        kt[0:dh, :], ds_a, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    dq_b = jax.lax.dot_general(
+        kt[dh:, :], ds_b, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    dq_ref[0, 0, 0:dh, pl.ds(i * block_q, block_q)] += dq_a
+    dq_ref[0, 0, dh:d2, pl.ds(i * block_q, block_q)] += dq_b
+
+    @pl.when(i == num_i - 1)
+    def _write_kv():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+        if has_bias:
+            dbias_ref[0, 0] = dbias_scr[:].astype(dbias_ref.dtype)
+        else:
+            dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "block_q", "block_kv", "has_bias", "interpret"))
+def _flash_packed_bwd_tpu(
+    qn, kn, v, g, lse, dsum, key_bias, heads: int,
+    block_q: int, block_kv: int, has_bias: bool, interpret: bool = False,
+):
+    """Backward for the packed kernel. qn/kn: PROLOGUED merged [B, S, H*D];
+    v/g merged; lse/dsum [B, HP, 2, Sq_p] (natural domain / per-head row sums);
+    key_bias [B, Skv] (natural domain). Returns (dqn, dkn, dv, dbias) with
+    dqn/dkn/dv merged and dbias [B, Skv]."""
+    b, sq, hd = qn.shape
+    skv = kn.shape[1]
+    d = hd // heads
+    hp = heads // 2
+    d2 = 2 * d
+    sq_p = _round_up(sq, block_q)
+    skv_p = _round_up(skv, block_kv)
+    has_bias = has_bias or skv_p != skv
+
+    def pack(x, s, s_p):
+        x = x.reshape(b, s, hp, d2).transpose(0, 2, 1, 3)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, s_p - s), (0, 0)))
+
+    qp = pack(qn, sq, sq_p)
+    kp = pack(kn, skv, skv_p)
+    vp = pack(v, skv, skv_p)
+    gp = pack(g.astype(qn.dtype), sq, sq_p)
+    lse = jnp.pad(lse, ((0, 0), (0, 0), (0, 0), (0, sq_p - lse.shape[-1])))
+    dsum = jnp.pad(dsum, ((0, 0), (0, 0), (0, 0), (0, sq_p - dsum.shape[-1])))
+    # bias as a column page [B, Skv_p, 128] (col 0) for sublane-wise broadcast
+    bias_col = jnp.pad(key_bias.astype(jnp.float32),
+                       ((0, 0), (0, skv_p - skv)), constant_values=_NEG_INF)
+    bias_col = jnp.pad(bias_col[:, :, None], ((0, 0), (0, 0), (0, _LANES - 1)))
+
+    grid = (b, hp, skv_p // block_kv, sq_p // block_q)
+    dq, dk, dv, dbias = pl.pallas_call(
+        functools.partial(_packed_bwd_kernel, block_q=block_q,
+                          has_bias=has_bias),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d2), lambda b_, h_, j, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, block_kv, d2), lambda b_, h_, j, i: (b_, h_, j, 0)),
+            pl.BlockSpec((1, 1, block_kv, d2), lambda b_, h_, j, i: (b_, h_, j, 0)),
+            pl.BlockSpec((1, 1, block_q, d2), lambda b_, h_, j, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, 2, block_q), lambda b_, h_, j, i: (b_, h_, 0, i)),
+            pl.BlockSpec((1, 1, 2, block_q), lambda b_, h_, j, i: (b_, h_, 0, i)),
+            pl.BlockSpec((1, block_kv, _LANES), lambda b_, h_, j, i: (b_, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, d2, sq_p), lambda b_, h_, j, i: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, block_kv, d2), lambda b_, h_, j, i: (b_, h_, j, 0)),
+            pl.BlockSpec((1, 1, block_kv, d2), lambda b_, h_, j, i: (b_, h_, j, 0)),
+            pl.BlockSpec((1, 1, block_kv, _LANES), lambda b_, h_, j, i: (b_, h_, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hp, d2, sq_p), jnp.float32),
+            jax.ShapeDtypeStruct((b, hp, skv_p, d2), qn.dtype),
+            jax.ShapeDtypeStruct((b, hp, skv_p, d2), qn.dtype),
+            jax.ShapeDtypeStruct((b, hp, skv_p, _LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d2, 2 * sq_p), qn.dtype),   # qt blockdiag
+            pltpu.VMEM((2 * sq_p, d2), qn.dtype),   # q2 blockdiag
+            pltpu.VMEM((2 * sq_p, d2), qn.dtype),   # g2 blockdiag
+            pltpu.VMEM((d2, 2 * sq_p), qn.dtype),   # gt blockdiag
+            pltpu.VMEM((d2, block_kv), qn.dtype),   # k^T for this j
+            pltpu.VMEM((block_kv, d2), jnp.float32),
+            pltpu.VMEM((block_kv, d2), jnp.float32),
+            pltpu.VMEM((block_kv, _LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary",
+                                 "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, gp, lse, dsum, bias_col)
+
+    # dq^T [B, HP, 128, Sq_p] -> merged [B, Sq, H*D]
+    dqn = dq[:, :, :, :sq].transpose(0, 3, 1, 2).reshape(b, sq, hd)
+    dkn = dk[:, :, :skv, :].transpose(0, 2, 1, 3).reshape(b, skv, hd)
+    dvm = dv[:, :, :skv, :].transpose(0, 2, 1, 3).reshape(b, skv, hd)
+    dbias_out = jnp.sum(dbias[:, :, :skv, 0], axis=1)  # [B, Skv]
+    return dqn.astype(qn.dtype), dkn, dvm, dbias_out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
@@ -805,26 +1044,43 @@ def _flash_packed_diff(heads, block_q, block_kv, has_bias, eps, norm_q, norm_k,
 
 def _packed_diff_fwd(heads, block_q, block_kv, has_bias, eps, norm_q, norm_k,
                      q, k, v, key_bias, tabs_q, tabs_k):
-    out = _flash_fused_packed_tpu(q, k, v, key_bias, tabs_q, tabs_k, heads,
-                                  block_q, block_kv, has_bias, eps,
-                                  norm_q, norm_k)
-    return out, (q, k, v, key_bias, tabs_q, tabs_k, out)
+    out, lse = _flash_fused_packed_tpu(q, k, v, key_bias, tabs_q, tabs_k,
+                                       heads, block_q, block_kv, has_bias,
+                                       eps, norm_q, norm_k, with_lse=True)
+    return out, (q, k, v, key_bias, tabs_q, tabs_k, out, lse)
 
 
 def _packed_diff_bwd(heads, block_q, block_kv, has_bias, eps, norm_q, norm_k,
                      res, g):
-    q, k, v, key_bias, tabs_q, tabs_k, out = res
+    import os
 
-    def prologue(q_, k_, tq_, tk_):
-        return (_apply_prologue_xla(_split3(q_, heads), tq_, eps, norm_q),
-                _apply_prologue_xla(_split3(k_, heads), tk_, eps, norm_k))
+    q, k, v, key_bias, tabs_q, tabs_k, out, lse = res
 
-    (qn, kn), vjp_p = jax.vjp(prologue, q, k, tabs_q, tabs_k)
-    dqn, dkn, dv4, dbias = _blocked_attention_bwd(
-        qn, kn, _split3(v, heads), key_bias, _split3(out, heads),
-        _split3(g, heads), 1.0)
+    def prologue_m(q_, k_, tq_, tk_):
+        # prologue on the merged layout (cheap elementwise; grads for the
+        # qk-norm affine params and traced rope tables flow through here)
+        qn4 = _apply_prologue_xla(_split3(q_, heads), tq_, eps, norm_q)
+        kn4 = _apply_prologue_xla(_split3(k_, heads), tk_, eps, norm_k)
+        return _merge3(qn4), _merge3(kn4)
+
+    (qn, kn), vjp_p = jax.vjp(prologue_m, q, k, tabs_q, tabs_k)
+    if os.environ.get("TOKENSGEN_XLA_ATTN_BWD", "0") == "1":
+        dqn4, dkn4, dv4, dbias = _blocked_attention_bwd(
+            _split3(qn, heads), _split3(kn, heads), _split3(v, heads),
+            key_bias, _split3(out, heads), _split3(g, heads), 1.0)
+        dqn, dkn, dvm = _merge3(dqn4), _merge3(dkn4), _merge3(dv4)
+    else:
+        b = q.shape[0]
+        hp = heads // 2
+        # per-head row sums of g*out -> [B, HP, 2, Sq] row layout
+        go = (g.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
+            b, -1, hp, 2, q.shape[2] // heads).sum(-1)  # [B, Sq, HP, 2]
+        dsum = go.transpose(0, 2, 3, 1)  # [B, HP, 2, Sq]
+        dqn, dkn, dvm, dbias = _flash_packed_bwd_tpu(
+            qn, kn, v, g, lse, dsum, key_bias, heads, block_q, block_kv,
+            has_bias)
     dq, dk, dtq, dtk = vjp_p((dqn.astype(qn.dtype), dkn.astype(kn.dtype)))
-    return dq, dk, _merge3(dv4), dbias, dtq, dtk
+    return dq, dk, dvm, dbias, dtq, dtk
 
 
 _flash_packed_diff.defvjp(_packed_diff_fwd, _packed_diff_bwd)
