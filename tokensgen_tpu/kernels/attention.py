@@ -549,13 +549,36 @@ _flash_attention_tpu_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 _LN2 = 0.6931471805599453
 
 
+def _tabs_score_bound(cosg, sin, add, rg):
+    """Upper bound on ||prologue(x)_row||_2 over all positions, valid when the
+    prologue normalizes (then ||LN0_row||_2 = sqrt(d) exactly):
+
+        prologue(x)_row = LN0 @ M_pos + add_pos,
+        M_pos = diag(cosg_pos) + Rg @ diag(sin_pos)
+        ||M||_op <= sqrt(||M||_1 * ||M||_inf)
+
+    With bounds for both sides, |scores| <= C_q * C_k (Cauchy-Schwarz) — a
+    *static-shape, traced-value* bound that lets the kernel run softmax as
+    exp2(s - C) with no online max tracking (exact softmax: the shift cancels).
+    """
+    d = rg.shape[0]
+    acg, asn, aad, arg = (jnp.abs(t.astype(jnp.float32))
+                          for t in (cosg, sin, add, rg))
+    colsum = jnp.sum(arg, axis=0)  # [D]
+    c1 = jnp.max(acg + asn * colsum, axis=-1)  # ||M||_1 per position
+    cinf = jnp.max(acg + asn @ arg.T, axis=-1)  # ||M||_inf per position
+    row = jnp.sqrt(d * 1.0) * jnp.sqrt(c1 * cinf) + jnp.sqrt(
+        jnp.sum(aad * aad, axis=-1))
+    return jnp.max(row)
+
+
 def _flash_packed_kernel(
     q_ref, k_ref, v_ref, bias_ref,
     cq_ref, sq_ref, aq_ref, rq_ref,
     ck_ref, sk_ref, ak_ref, rk_ref, mu_ref,
     *refs,
     has_bias: bool, block_kv: int, eps: float, norm_q: bool, norm_k: bool,
-    with_lse: bool = False,
+    with_lse: bool = False, no_max: bool = False,
 ):
     if with_lse:
         o_ref, lse_ref, m_scr, l_scr, acc_scr, qn_scr, kt_scr, v2_scr = refs
@@ -588,7 +611,8 @@ def _flash_packed_kernel(
 
     @pl.when(j == 0)
     def _init():
-        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        if not no_max:
+            m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
         qn_scr[:] = prologue(q_ref[0, 0], cq_ref[0], sq_ref[0], aq_ref[0],
@@ -616,27 +640,43 @@ def _flash_packed_kernel(
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )  # [Bq, 2*Bk] = [sA | sB], log2 domain
     bias = bias_ref[0, 0][None, :] if has_bias else None
-    ps = []
-    for hh in range(2):
-        s = s2[:, hh * block_kv:(hh + 1) * block_kv]
-        if has_bias:
-            s = s + bias
-        m_prev = m_scr[hh, :, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp2(s - m_new)
-        alpha = jnp.exp2(m_prev - m_new)
-        l_scr[hh, :, :1] = alpha * l_scr[hh, :, :1] + jnp.sum(p, axis=-1,
-                                                              keepdims=True)
-        m_scr[hh, :, :1] = m_new
-        ps.append((p, alpha))
-
     lanes = jax.lax.broadcasted_iota(jnp.int32, acc_scr.shape, 1)
-    alpha2 = jnp.where(lanes < dh, ps[0][1], ps[1][1])
-    p2 = jnp.concatenate([ps[0][0], ps[1][0]], axis=1).astype(v_ref.dtype)
-    acc_scr[:] = alpha2 * acc_scr[:] + jax.lax.dot_general(
-        p2, v2_scr[pl.ds(2 * j * block_kv, 2 * block_kv), :],
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )
+    ps = []
+    if no_max:
+        # qk-norm bounds the scores (see _tabs_score_bound): the wrapper folds
+        # the bound C into the bias, so s <= 0 here and softmax needs no
+        # online max — no max-reduce, no accumulator rescale.
+        for hh in range(2):
+            s = s2[:, hh * block_kv:(hh + 1) * block_kv] + bias
+            p = jnp.exp2(s)
+            l_scr[hh, :, :1] = l_scr[hh, :, :1] + jnp.sum(p, axis=-1,
+                                                          keepdims=True)
+            ps.append(p)
+        p2 = jnp.concatenate(ps, axis=1).astype(v_ref.dtype)
+        acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
+            p2, v2_scr[pl.ds(2 * j * block_kv, 2 * block_kv), :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+    else:
+        for hh in range(2):
+            s = s2[:, hh * block_kv:(hh + 1) * block_kv]
+            if has_bias:
+                s = s + bias
+            m_prev = m_scr[hh, :, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp2(s - m_new)
+            alpha = jnp.exp2(m_prev - m_new)
+            l_scr[hh, :, :1] = alpha * l_scr[hh, :, :1] + jnp.sum(
+                p, axis=-1, keepdims=True)
+            m_scr[hh, :, :1] = m_new
+            ps.append((p, alpha))
+
+        alpha2 = jnp.where(lanes < dh, ps[0][1], ps[1][1])
+        p2 = jnp.concatenate([ps[0][0], ps[1][0]], axis=1).astype(v_ref.dtype)
+        acc_scr[:] = alpha2 * acc_scr[:] + jax.lax.dot_general(
+            p2, v2_scr[pl.ds(2 * j * block_kv, 2 * block_kv), :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
 
     @pl.when(j == num_kv - 1)
     def _finalize():
@@ -644,9 +684,14 @@ def _flash_packed_kernel(
         o_ref[0, 0] = (acc_scr[:] / l2).astype(o_ref.dtype)
         if with_lse:
             # natural-domain logsumexp per row: lane 0 = head A, lane 1 = B
-            # (the backward kernel re-lays these out in XLA)
-            lse_a = m_scr[0, :, :1] * _LN2 + jnp.log(l_scr[0, :, :1])
-            lse_b = m_scr[1, :, :1] * _LN2 + jnp.log(l_scr[1, :, :1])
+            # (the backward kernel re-lays these out in XLA). In no_max mode
+            # the shift C is re-added by the wrapper.
+            if no_max:
+                lse_a = jnp.log(l_scr[0, :, :1])
+                lse_b = jnp.log(l_scr[1, :, :1])
+            else:
+                lse_a = m_scr[0, :, :1] * _LN2 + jnp.log(l_scr[0, :, :1])
+                lse_b = m_scr[1, :, :1] * _LN2 + jnp.log(l_scr[1, :, :1])
             lane1 = jax.lax.broadcasted_iota(jnp.int32, lse_ref[0, 0].shape, 1)
             lse_ref[0, 0] = jnp.where(lane1 == 0, lse_a,
                                       jnp.where(lane1 == 1, lse_b, 0.0))
@@ -703,6 +748,20 @@ def _flash_fused_packed_tpu(
     ck, sk, ak, rk, bk_batched = norm_tabs(tabs_k, skv_p - skv)
     cq, sq_t, aq = cq * _LOG2E, sq_t * _LOG2E, aq * _LOG2E
 
+    # max-free softmax: when both prologues normalize, |scores| is provably
+    # bounded by the product of the per-side table bounds — fold the bound
+    # into the bias so s <= 0 in-kernel (clipped: a pathological bound would
+    # only cost softmax underflow, never overflow)
+    no_max = norm_q and norm_k
+    c_shift = None
+    if no_max:
+        c_shift = jnp.minimum(
+            _tabs_score_bound(cq, sq_t, aq, rq)
+            * _tabs_score_bound(ck, sk, ak, rk)
+            + jnp.maximum(jnp.max(key_bias), 0.0), 120.0)
+        key_bias = key_bias - c_shift
+        has_bias = True
+
     d2 = 2 * d
     mu = jnp.block([
         [jnp.full((d, d), 1.0 / d, jnp.float32), jnp.zeros((d, d), jnp.float32)],
@@ -727,7 +786,8 @@ def _flash_fused_packed_tpu(
     res = pl.pallas_call(
         functools.partial(
             _flash_packed_kernel, has_bias=has_bias, block_kv=block_kv,
-            eps=eps, norm_q=norm_q, norm_k=norm_k, with_lse=with_lse),
+            eps=eps, norm_q=norm_q, norm_k=norm_k, with_lse=with_lse,
+            no_max=no_max),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d2), lambda b_, h_, i, j: (b_, h_, i, 0)),
@@ -766,6 +826,8 @@ def _flash_fused_packed_tpu(
         # [B, HP, Sq_p, 128] (lanes 0/1 = heads A/B) -> row layout
         # [B, HP, 2, Sq_p] for the backward kernel's lane-wise broadcasts
         lse = lse[:, :, :, :2].transpose(0, 1, 3, 2)  # -> [B, HP, 2, Sq_p]
+        if no_max:
+            lse = lse + c_shift * _LN2  # undo the bias-folded shift
         return out, lse
     return out
 
