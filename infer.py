@@ -56,7 +56,9 @@ def build_pipeline(cfg, smoke: bool):
             num_height_queries=rp.get("num_height_queries", 8),
             num_width_queries=rp.get("num_width_queries", 12),
         )
-        dcfg = DiTConfig.cogvideox_5b(vip=vc)
+        # ff_chunks=4: the CFG-batched (B=2) 7.17B forward only fits a 16 GB
+        # chip with the joint-FF gelu intermediate capped (identical math)
+        dcfg = DiTConfig.cogvideox_5b(vip=vc, ff_chunks=4)
         rcfg = ResamplerConfig(**{k: v for k, v in rp.items()
                                   if k in ResamplerConfig.__dataclass_fields__})
         vcfg = VAEConfig.cogvideox()

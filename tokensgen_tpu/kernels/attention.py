@@ -645,9 +645,12 @@ def _flash_packed_kernel(
     if no_max:
         # qk-norm bounds the scores (see _tabs_score_bound): the wrapper folds
         # the bound C into the bias, so s <= 0 here and softmax needs no
-        # online max — no max-reduce, no accumulator rescale.
+        # online max — no max-reduce, no accumulator rescale. The min() is a
+        # no-op when the bound holds (it fuses with the add) and caps p at 1
+        # if a pathological bound ever exceeds the wrapper's clip — overflow
+        # becomes a mild softmax distortion instead of inf/NaN.
         for hh in range(2):
-            s = s2[:, hh * block_kv:(hh + 1) * block_kv] + bias
+            s = jnp.minimum(s2[:, hh * block_kv:(hh + 1) * block_kv] + bias, 0.0)
             p = jnp.exp2(s)
             l_scr[hh, :, :1] = l_scr[hh, :, :1] + jnp.sum(p, axis=-1,
                                                           keepdims=True)
