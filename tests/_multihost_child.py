@@ -80,7 +80,17 @@ def main() -> None:
     opt_state = replicate(mesh, opt_state)
     train_batch = dict(shard_batch(mesh, batch), **ropes)
 
-    _, _, metrics = step(params, opt_state, train_batch, jax.random.PRNGKey(1))
+    # AOT-compile, then rendezvous on the coordination service: under load the
+    # two processes' compile times can skew past Gloo's 30 s collective-setup
+    # window — entering execution together keeps the psum rendezvous short
+    compiled = step.lower(params, opt_state, train_batch,
+                          jax.random.PRNGKey(1)).compile()
+    from jax._src import distributed
+
+    distributed.global_state.client.wait_at_barrier("to2v_step_compiled",
+                                                    300_000)
+    _, _, metrics = compiled(params, opt_state, train_batch,
+                             jax.random.PRNGKey(1))
     loss = float(metrics["loss"])
     assert np.isfinite(loss)
     print(f"MULTIHOST_LOSS {pid} {loss:.6f}", flush=True)

@@ -4,23 +4,34 @@ Replaces the reference's `F.scaled_dot_product_attention` under
 `sdpa_kernel(SDPBackend.FLASH_ATTENTION)` (`/root/reference/longvgen/models/
 attention_processor.py:2066`, `video_ipadapter/resampler.py:125`).
 
-Design notes (TPU):
-* canonical online-softmax flash attention with a 4-D grid
-  (batch, head, q-block, kv-block); the kv axis is the innermost ("arbitrary")
-  grid dimension so Pallas double-buffers K/V block DMAs against the MXU matmuls,
-* running max / denominator / accumulator live in VMEM scratch and persist across
-  the kv iterations of one q block; the output is normalised and written on the
-  last kv step,
-* f32 softmax and accumulation (`preferred_element_type`) with bf16 inputs feeding
-  the MXU,
-* non-multiple sequence lengths are zero-padded by the wrapper and masked via an
+Design notes (TPU) — see PERF.md for every measured number:
+* the production path is `fused_flash_attention` on merged [B, S, H*D]
+  operands: head PAIRS are packed side-by-side in a 128-wide feature slot
+  (a d=64 minor dim is lane-padded 2x in HBM; the packed layout is exact-fit)
+  and every matmul is full-width via block-diagonal operands,
+* the qk LayerNorm + interleaved RoPE prologue is fused into the kernel as
+  per-position tables plus one constant signed-permutation matmul
+  (`make_prologue`: rope(LN(x)) = LN0∘cosg + (LN0@Rg)∘sin + add — exact),
+  computed once per q block / once per kv block (cached in persistent VMEM
+  scratch across the q sweep),
+* softmax is max-free when both sides normalize: LN0 rows have exactly
+  sqrt(d) L2 norm, so |scores| <= C is provable from the tables
+  (`_tabs_score_bound`) and C folds into the additive bias — exp2 with no
+  online max tracking and no accumulator rescale, still the exact softmax,
+* training backward is a packed Pallas kernel too (`_packed_bwd_kernel`):
+  logit tiles never touch HBM; the forward saves a per-row logsumexp,
+* f32 softmax/accumulation (`preferred_element_type`) with bf16 MXU operands,
+* non-multiple lengths are zero-padded by the wrapper and masked via the
   additive key-bias, which doubles as the T2To padded-chunk attention mask,
-* RoPE is applied *before* the kernel (it differs per stream), so one kernel serves
-  all three attention patterns of the VIP processor: base joint self-attn,
-  text_video→vip cross-attn, and vip→[text_video‖vip] attn.
+* one kernel serves all VIP processor patterns (base joint self-attn,
+  text_video→vip cross-attn, vip→[text_video‖vip]) — the per-stream rope
+  differences are just different table segments.
 
-On non-TPU backends the wrapper dispatches to a plain XLA reference implementation
-(identical math) so the full model runs under the CPU test mesh.
+`flash_attention` (4-D [B,H,S,D], prologue outside) remains for callers
+without a qk-norm/rope prologue (resampler, tests). On non-TPU backends both
+entry points dispatch to a plain XLA reference implementation (identical
+math) so the full model runs under the CPU test mesh; interpreter-mode tests
+run the exact kernel bodies in CI.
 """
 
 from __future__ import annotations
