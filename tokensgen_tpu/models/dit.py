@@ -166,16 +166,6 @@ class DiTConfig:
         return cls(**defaults)
 
 
-def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
-    b, s, _ = x.shape
-    return x.reshape(b, s, heads, -1).transpose(0, 2, 1, 3)
-
-
-def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
-    b, h, s, d = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
-
-
 class QKNorm(nn.Module):
     """Per-head-dim LayerNorm on q/k (eps 1e-6, affine), float32 stats.
 

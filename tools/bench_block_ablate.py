@@ -14,7 +14,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from tokensgen_tpu.core.rope import apply_rotary_emb, get_3d_rotary_pos_embed_v2
-from tokensgen_tpu.models.dit import DiTBlock, DiTConfig, VIPConfig, _split_heads
+from tokensgen_tpu.models.dit import DiTBlock, DiTConfig, VIPConfig
+
+
+def _split_heads(x, heads):
+    b, s, _ = x.shape
+    return x.reshape(b, s, heads, -1).transpose(0, 2, 1, 3)
 from tokensgen_tpu.models.layers import LayerNorm
 
 
