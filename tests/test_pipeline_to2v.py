@@ -163,3 +163,18 @@ def test_generate_with_cache_videos(pipe):
     cv = np.asarray(out["cache_videos"][0])
     # 6 valid captures -> truncated to 2 decode chunks of 3 latent frames
     assert cv.shape[0] == 1 and cv.shape[1] % 9 == 0 and cv.shape[1] > 0
+
+
+def test_generate_offload_vae_matches(pipe):
+    """offload_vae=True phase orchestration must not change results (on CPU
+    the device_puts are placement no-ops, but the full code path runs)."""
+    rng = np.random.default_rng(7)
+    frames = jnp.asarray(rng.uniform(-1, 1, size=(1, 18, 32, 48, 3)), jnp.float32)
+    text = jnp.asarray(rng.normal(size=(1, 8, 24)), jnp.float32)
+    neg = jnp.zeros_like(text)
+    out1 = pipe.generate(text, neg, frames=frames, num_chunks=2,
+                         rng=jax.random.PRNGKey(5))
+    out2 = pipe.generate(text, neg, frames=frames, num_chunks=2,
+                         rng=jax.random.PRNGKey(5), offload_vae=True)
+    np.testing.assert_allclose(np.asarray(out1["video"]),
+                               np.asarray(out2["video"]), rtol=1e-5, atol=1e-5)

@@ -109,6 +109,9 @@ class To2VPipeline:
         self.image_encoder = image_encoder
         self.dit = CogVideoXTransformer(dit_config)
         self.resampler = Resampler(resampler_config)
+        # tiny standalone copy of the DiT's patch conv so the VIP-encode phase
+        # never needs the full 14 GB dit_params resident (single-chip offload)
+        self._patch_proj = {"patch_proj": dit_params["params"]["patch_proj"]}
 
         c = cfg
         self.grid_h = c.height // (c.vae_scale_factor_spatial * dit_config.patch_size)
@@ -187,7 +190,7 @@ class To2VPipeline:
                 key = None if rng is None else jax.random.fold_in(rng, cid)
                 lat = sample_latent(moments, key) * self.vae.config.scaling_factor
                 lat = lat.transpose(0, 1, 4, 2, 3)  # [B, f, C, h, w]
-                tokens = apply_patch_proj(self.dit_config, self.dit_params["params"], lat)
+                tokens = apply_patch_proj(self.dit_config, self._patch_proj, lat)
                 toks.append(self.resampler.apply(
                     self.resampler_params, tokens, img_rope, smp_rope, pca=self.pca,
                 ))
@@ -442,14 +445,37 @@ class To2VPipeline:
         mesh=None,
         cache_idx: Tuple[int, ...] = (),
         decode: bool = True,
+        offload_vae: bool = False,
     ) -> Dict[str, jnp.ndarray]:
-        """Full edit/generation run: base pass -> FIFO -> (optional) decode."""
+        """Full edit/generation run: base pass -> FIFO -> (optional) decode.
+
+        ``offload_vae``: park the VAE params in host memory during the denoise
+        phase (restored before decoding) — the production To2V stack's params
+        (DiT 14.3 GB + VAE + resampler ~ 15.5 GB bf16) only share one 16 GB
+        chip with this enabled."""
         cfg = self.cfg
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         rng, r_vip, r_base, r_fifo = jax.random.split(rng, 4)
 
+        if offload_vae and frames is not None and image_embeddings is None:
+            # phase orchestration for one 16 GB chip: the production stack's
+            # params alone are 15.5 GB (DiT 14.3 + resampler 0.6 + VAE 0.4),
+            # so encode, denoise and decode each get only the modules they
+            # use. The encode phase needs just the VAE + resampler + the tiny
+            # patch-proj copy — the full DiT waits in host memory.
+            self.dit_params = jax.device_put(
+                self.dit_params, jax.devices("cpu")[0])
         if image_embeddings is None and frames is not None:
             image_embeddings = self.vip_encode_video(frames, rng=r_vip)
+        if offload_vae:
+            if image_embeddings is not None:
+                jax.block_until_ready(image_embeddings)
+            cpu = jax.devices("cpu")[0]
+            dev = jax.devices()[0]
+            if self.vae is not None:
+                self.vae.offload_to_host()
+            self.resampler_params = jax.device_put(self.resampler_params, cpu)
+            self.dit_params = jax.device_put(self.dit_params, dev)
 
         res, image_rope, model_fn = self.base_denoise(
             prompt_embeds, negative_embeds, image_embeddings, num_chunks, r_base
@@ -487,6 +513,15 @@ class To2VPipeline:
             "cache_valid": fifo_res.cache_valid,
         }
         if decode and self.vae is not None:
+            if offload_vae:
+                # decode phase: DiT back to host, VAE back on device
+                jax.block_until_ready(fifo_res.latents)
+                jax.block_until_ready(res.latents)
+                self.dit_params = jax.device_put(
+                    self.dit_params, jax.devices("cpu")[0])
+                self.vae.restore_to_device()
+                self.resampler_params = jax.device_put(
+                    self.resampler_params, jax.devices()[0])
             out["video"] = self.decode_latents(fifo_res.latents)
             out["orig_video"] = self.decode_latents(res.latents)
             if fifo_res.cache_x0 is not None:

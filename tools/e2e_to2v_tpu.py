@@ -1,0 +1,123 @@
+"""Production-size To2V edit pipeline end-to-end on one TPU chip.
+
+Runs the REAL 7.17B model at the real 720x480/49-frame shapes with random
+weights (no checkpoint exists in this environment) through the full edit
+workload: VAE encode -> patch-proj -> resampler -> CFG base denoise -> FIFO
+long-video loop -> VAE decode. Reduced step count / chunk count so the run
+finishes in minutes; every jitted program is the production program.
+
+Usage: python tools/e2e_to2v_tpu.py [steps] [chunks] [partitions] [layers]
+
+Depth defaults to 36 (of 42): the full-depth FIFO phase needs ~16.3 GB
+(DiT 14.3 + B=2 activations + queue/track buffers) and crashed the 16 GB
+chip's worker when tried; 36 layers leaves ~2 GB headroom while every
+per-layer program (attention kernels, sequence lengths, CFG batching) is the
+production one. Full depth fits on >=24 GB parts (v5p/v6e) or 2 chips.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tokensgen_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tokensgen_tpu.core import schedule as S
+from tokensgen_tpu.models.dit import (
+    CogVideoXTransformer, DiTConfig, VIPConfig, graft_vip_params,
+)
+from tokensgen_tpu.models.resampler import Resampler, ResamplerConfig
+from tokensgen_tpu.models.vae3d import AutoencoderKLCogVideoX, VAEConfig, VAERunner
+from tokensgen_tpu.pipelines.to2v import To2VConfig, To2VPipeline
+from tokensgen_tpu.utils.params import init_params_bf16, param_count
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    parts = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    layers = int(sys.argv[4]) if len(sys.argv) > 4 else 36
+
+    cfg = To2VConfig(
+        height=480, width=720, num_frames_per_chunk=49,
+        num_inference_steps=steps, num_partitions=parts, stochastic=False,
+    )
+    vc = VIPConfig()
+    dcfg = DiTConfig.cogvideox_5b(vip=vc, ff_chunks=4, num_layers=layers)
+    rcfg = ResamplerConfig()
+    vcfg = VAEConfig.cogvideox(dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    r1, r2, r3 = jax.random.split(key, 3)
+
+    t0 = time.time()
+    vae_model = AutoencoderKLCogVideoX(vcfg)
+    vae_params = init_params_bf16(
+        vae_model.init, r1, jnp.zeros((1, 9, 480, 720, 3), jnp.bfloat16))
+    vae_runner = VAERunner(vcfg, vae_params)
+
+    rs = Resampler(rcfg)
+    rs_params = init_params_bf16(
+        rs.init, r2, jnp.zeros((1, cfg.nf_latent, 2, rcfg.embedding_dim),
+                               jnp.bfloat16))
+
+    from tokensgen_tpu.core.rope import get_3d_rotary_pos_embed_v2
+
+    dit = CogVideoXTransformer(dcfg)
+    d = dcfg.attention_head_dim
+    rope = get_3d_rotary_pos_embed_v2(d, np.arange(13), np.arange(30), np.arange(45))
+    dit_params = init_params_bf16(
+        dit.init, r3,
+        jnp.zeros((1, 13, 16, 60, 90), jnp.bfloat16),
+        jnp.zeros((1, dcfg.max_text_seq_length, dcfg.text_embed_dim), jnp.bfloat16),
+        jnp.zeros((1,), jnp.int32),
+        vip_hidden_states=jnp.zeros((1, 5, 3072, 8, 12), jnp.bfloat16),
+        image_rotary_emb=rope,
+        vip_image_rotary_emb=rope,
+        vip_condition_rotary_emb=get_3d_rotary_pos_embed_v2(
+            d, np.arange(5), np.arange(8), np.arange(12)),
+    )
+    dit_params = {"params": graft_vip_params(dit_params["params"], dcfg)}
+    n = param_count(dit_params) + param_count(rs_params) + param_count(vae_params)
+    print(f"[{time.time()-t0:7.1f}s] params ready: {n/1e9:.2f}B total", flush=True)
+
+    sched = S.make_schedule(S.ScheduleConfig())
+    pipe = To2VPipeline(cfg, dcfg, dit_params, rcfg, rs_params, vae_runner, sched)
+    # the pipeline's offload orchestration frees HBM by re-binding its param
+    # trees — drop the script-local references or the buffers stay alive
+    del dit_params, rs_params, vae_params
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.uniform(-1, 1, size=(1, chunks * 49, 480, 720, 3)), jnp.bfloat16)
+    text = jnp.asarray(rng.normal(size=(1, 226, 4096)) * 0.02, jnp.bfloat16)
+    neg = jnp.zeros_like(text)
+
+    t1 = time.time()
+    out = pipe.generate(text, neg, frames=frames, num_chunks=chunks,
+                        rng=jax.random.PRNGKey(2), offload_vae=True)
+    video = np.asarray(out["video"].astype(jnp.float32))
+    dt = time.time() - t1
+    print(f"[{time.time()-t0:7.1f}s] EDIT E2E OK (incl. compile): "
+          f"{dt:.1f}s -> video {video.shape}, finite={np.isfinite(video).all()}, "
+          f"std={video.std():.3f}", flush=True)
+
+    # warm second run = the production-rate number
+    t2 = time.time()
+    out = pipe.generate(text, neg, frames=frames, num_chunks=chunks,
+                        rng=jax.random.PRNGKey(3), offload_vae=True)
+    float(jnp.sum(out["video"].astype(jnp.float32)))
+    dt2 = time.time() - t2
+    nf = chunks * 49
+    print(f"warm edit run ({layers} layers): {dt2:.1f}s for {nf} frames at "
+          f"{steps} steps, {parts} partition(s) -> {nf/dt2:.2f} frames/s "
+          f"end-to-end", flush=True)
+    assert np.isfinite(video).all()
+
+
+if __name__ == "__main__":
+    main()
