@@ -111,7 +111,9 @@ class To2VPipeline:
         self.resampler = Resampler(resampler_config)
         # tiny standalone copy of the DiT's patch conv so the VIP-encode phase
         # never needs the full 14 GB dit_params resident (single-chip offload)
-        self._patch_proj = {"patch_proj": dit_params["params"]["patch_proj"]}
+        self._patch_proj = None
+        if dit_params is not None and "patch_proj" in dit_params.get("params", {}):
+            self._patch_proj = {"patch_proj": dit_params["params"]["patch_proj"]}
 
         c = cfg
         self.grid_h = c.height // (c.vae_scale_factor_spatial * dit_config.patch_size)
