@@ -270,3 +270,32 @@ def test_packed_kernel_extreme_norm_scales_stay_finite():
     # softmax IS distorted for the extreme rows — the guarantee under test is
     # only that the clamp keeps everything finite (no exp2 overflow -> NaN)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_packed_kernel_batched_tables_interpret_mode():
+    """Per-sample rope tables ([B, S, D], the FIFO's traced-grid case) drive a
+    different BlockSpec index map in the packed kernel — exercise it."""
+    from tokensgen_tpu.kernels import attention as A
+
+    rng = np.random.default_rng(13)
+    b, h, s, d = 2, 4, 256, 64
+    qm = jnp.asarray(rng.normal(size=(b, s, h * d)).astype(np.float32))
+    km = jnp.asarray(rng.normal(size=(b, s, h * d)).astype(np.float32))
+    vm = jnp.asarray(rng.normal(size=(b, s, h * d)).astype(np.float32))
+    g = jnp.asarray(np.abs(rng.normal(size=(d,))).astype(np.float32))
+    bs_ = jnp.asarray((0.1 * rng.normal(size=(d,))).astype(np.float32))
+    ang = rng.normal(size=(b, s, d)).astype(np.float32)  # differs per sample
+    rope = (jnp.asarray(np.cos(ang)), jnp.asarray(np.sin(ang)))
+    scale = d**-0.5
+    tq = A.make_prologue(d, [(rope, s)], g, bs_, fold=scale)
+    tk = A.make_prologue(d, [(rope, s)], g, bs_)
+    assert tq[0].ndim == 3  # batched tables
+    out = A._flash_fused_packed_tpu(qm, km, vm, jnp.zeros((b, s), jnp.float32),
+                                    tq, tk, h, 128, 128, False, 1e-6,
+                                    True, True, interpret=True)
+    ref4 = A._xla_attention_fused(A._split3(qm, h), A._split3(km, h),
+                                  A._split3(vm, h),
+                                  jnp.zeros((b, s), jnp.float32),
+                                  tq, tk, 1e-6, True, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(A._merge3(ref4)),
+                               rtol=2e-4, atol=2e-4)
