@@ -46,7 +46,8 @@ def build_pipeline(cfg, smoke: bool):
         vcfg = VAEConfig.tiny(sample_height=32, sample_width=48)
         pcfg = To2VConfig(height=32, width=48, num_frames_per_chunk=9,
                           num_inference_steps=6, num_partitions=2,
-                          vip_scale=(vp.get("scale") or [1.0])[0])
+                          vip_scale=(vp.get("scale") or [1.0])[0],
+                          use_vae_as_encoder=cfg.get("use_vae_as_encoder", True))
     else:
         vc = VIPConfig(
             length=vp.get("length", 480),
@@ -72,6 +73,7 @@ def build_pipeline(cfg, smoke: bool):
             lookahead_denoising=cfg.get_path("sampling_params.lookahead_denoising", True),
             use_adaptive_padding=cfg.get_path("sampling_params.use_adaptive_padding", True),
             vip_scale=(vp.get("scale") or [1.0])[0],
+            use_vae_as_encoder=cfg.get("use_vae_as_encoder", True),
         )
 
     rng = jax.random.PRNGKey(cfg.get("seed", 42))
@@ -119,8 +121,28 @@ def build_pipeline(cfg, smoke: bool):
     else:
         dit_params = {"params": graft_vip_params(dit_params["params"], dcfg)}
 
+    # DINOv2 conditioning path (`use_vae_as_encoder: false`,
+    # `infer_cogvideo_mp_fifo.py:138-183` image_encoder_path)
+    image_encoder = None
+    if not cfg.get("use_vae_as_encoder", True):
+        from tokensgen_tpu.models.dinov2 import (
+            DINOv2Config, DINOv2Encoder, load_dinov2)
+
+        enc_dir = cfg.get("image_encoder_path")
+        if enc_dir and os.path.isdir(enc_dir):
+            image_encoder = load_dinov2(enc_dir)
+            print(f"loaded DINOv2 image encoder from {enc_dir}", flush=True)
+        else:
+            ecfg = DINOv2Config.tiny() if smoke else DINOv2Config.large()
+            enc = DINOv2Encoder(ecfg)
+            enc_params = enc.init(
+                jax.random.PRNGKey(7),
+                jnp.zeros((1, 3, ecfg.image_size, ecfg.image_size)))
+            image_encoder = (enc, enc_params)
+
     sched = S.make_schedule(S.ScheduleConfig())
-    return To2VPipeline(pcfg, dcfg, dit_params, rcfg, rs_params, vae, sched), dcfg
+    return To2VPipeline(pcfg, dcfg, dit_params, rcfg, rs_params, vae, sched,
+                        image_encoder=image_encoder), dcfg
 
 
 def main():

@@ -263,3 +263,152 @@ def load_reference_transformer() -> types.ModuleType:
         "longvgen/models/attention_processor.py", "longvgen.models.attention_processor")
     return load_reference_module(
         "longvgen/models/cogvideox_transformer_3d.py", "ref_transformer")
+
+
+def _install_vae_extras() -> None:
+    """Shim modules the reference VAE imports beyond the transformer set.
+
+    `CogVideoXDownsample3D` / `CogVideoXUpsample3D` / `DiagonalGaussianDistribution`
+    must be numerically REAL (they sit on the VAE compute path); they are
+    re-implemented here to the published diffusers-0.31 semantics the reference
+    was written against (`autoencoder_kl_cogvideox.py:28-32`)."""
+    import diffusers  # installed by install()
+
+    if hasattr(sys.modules["diffusers.models"], "downsampling"):
+        return
+    import torch
+    import torch.nn.functional as F
+
+    sfm = _mod("diffusers.loaders.single_file_model")
+
+    class FromOriginalModelMixin:
+        pass
+
+    sfm.FromOriginalModelMixin = FromOriginalModelMixin
+    sys.modules["diffusers.loaders"].single_file_model = sfm
+
+    au = _mod("diffusers.utils.accelerate_utils")
+    au.apply_forward_hook = lambda fn: fn
+    sys.modules["diffusers.utils"].accelerate_utils = au
+
+    down = _mod("diffusers.models.downsampling")
+
+    class CogVideoXDownsample3D(torch.nn.Module):
+        # diffusers CogVideoXDownsample3D: optional temporal avg-pool-2
+        # (first frame kept when odd), then per-frame 3x3 stride-2 conv with
+        # (0,1,0,1) right/bottom zero pad
+        def __init__(self, in_channels, out_channels, kernel_size=3, stride=2,
+                     padding=0, compress_time=False):
+            super().__init__()
+            self.conv = torch.nn.Conv2d(in_channels, out_channels, kernel_size,
+                                        stride=stride, padding=padding)
+            self.compress_time = compress_time
+
+        def forward(self, x):
+            if self.compress_time:
+                b, c, t, h, w = x.shape
+                x = x.permute(0, 3, 4, 1, 2).reshape(b * h * w, c, t)
+                if x.shape[-1] % 2 == 1:
+                    x_first, x_rest = x[..., 0], x[..., 1:]
+                    if x_rest.shape[-1] > 0:
+                        x_rest = F.avg_pool1d(x_rest, kernel_size=2, stride=2)
+                    x = torch.cat([x_first[..., None], x_rest], dim=-1)
+                else:
+                    x = F.avg_pool1d(x, kernel_size=2, stride=2)
+                x = x.reshape(b, h, w, c, x.shape[-1]).permute(0, 3, 4, 1, 2)
+            x = F.pad(x, (0, 1, 0, 1), mode="constant", value=0)
+            b, c, t, h, w = x.shape
+            x = x.permute(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
+            x = self.conv(x)
+            x = x.reshape(b, t, x.shape[1], x.shape[2], x.shape[3]).permute(0, 2, 1, 3, 4)
+            return x
+
+    down.CogVideoXDownsample3D = CogVideoXDownsample3D
+    sys.modules["diffusers.models"].downsampling = down
+
+    up = _mod("diffusers.models.upsampling")
+
+    class CogVideoXUpsample3D(torch.nn.Module):
+        # diffusers CogVideoXUpsample3D: nearest x2 upsample (causal-odd input
+        # keeps the first frame temporally single), then per-frame 3x3 conv
+        def __init__(self, in_channels, out_channels, kernel_size=3, stride=1,
+                     padding=1, compress_time=False):
+            super().__init__()
+            self.conv = torch.nn.Conv2d(in_channels, out_channels, kernel_size,
+                                        stride=stride, padding=padding)
+            self.compress_time = compress_time
+
+        def forward(self, inputs):
+            if self.compress_time:
+                if inputs.shape[2] > 1 and inputs.shape[2] % 2 == 1:
+                    x_first, x_rest = inputs[:, :, 0], inputs[:, :, 1:]
+                    x_first = F.interpolate(x_first, scale_factor=2.0)
+                    x_rest = F.interpolate(x_rest, scale_factor=2.0)
+                    x_first = x_first[:, :, None, :, :]
+                    inputs = torch.cat([x_first, x_rest], dim=2)
+                elif inputs.shape[2] > 1:
+                    inputs = F.interpolate(inputs, scale_factor=2.0)
+                else:
+                    inputs = inputs.squeeze(2)
+                    inputs = F.interpolate(inputs, scale_factor=2.0)
+                    inputs = inputs[:, :, None, :, :]
+            else:
+                b, c, t, h, w = inputs.shape
+                inputs = inputs.permute(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
+                inputs = F.interpolate(inputs, scale_factor=2.0)
+                inputs = inputs.reshape(b, t, *inputs.shape[1:]).permute(0, 2, 1, 3, 4)
+
+            b, c, t, h, w = inputs.shape
+            inputs = inputs.permute(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
+            inputs = self.conv(inputs)
+            inputs = inputs.reshape(b, t, *inputs.shape[1:]).permute(0, 2, 1, 3, 4)
+            return inputs
+
+    up.CogVideoXUpsample3D = CogVideoXUpsample3D
+    sys.modules["diffusers.models"].upsampling = up
+
+    mo = sys.modules["diffusers.models.modeling_outputs"]
+
+    class AutoencoderKLOutput:
+        def __init__(self, latent_dist):
+            self.latent_dist = latent_dist
+
+    mo.AutoencoderKLOutput = AutoencoderKLOutput
+
+    vae_mod = _mod("diffusers.models.autoencoders.vae")
+    _mod("diffusers.models.autoencoders").vae = vae_mod
+
+    class DecoderOutput:
+        def __init__(self, sample, commit_loss=None):
+            self.sample = sample
+            self.commit_loss = commit_loss
+
+    class DiagonalGaussianDistribution:
+        def __init__(self, parameters, deterministic=False):
+            self.parameters = parameters
+            self.mean, self.logvar = torch.chunk(parameters, 2, dim=1)
+            self.logvar = torch.clamp(self.logvar, -30.0, 20.0)
+            self.deterministic = deterministic
+            self.std = torch.exp(0.5 * self.logvar)
+
+        def sample(self, generator=None):
+            from diffusers.utils.torch_utils import randn_tensor
+
+            noise = randn_tensor(self.mean.shape, generator=generator,
+                                 device=self.mean.device, dtype=self.mean.dtype)
+            return self.mean + self.std * noise
+
+        def mode(self):
+            return self.mean
+
+    vae_mod.DecoderOutput = DecoderOutput
+    vae_mod.DiagonalGaussianDistribution = DiagonalGaussianDistribution
+
+
+def load_reference_vae() -> types.ModuleType:
+    """Import the reference 3D causal VAE (`autoencoder_kl_cogvideox.py`) as
+    numerical oracle."""
+    install()
+    _install_vae_extras()
+    return load_reference_module(
+        "longvgen/models/autoencoder_kl_cogvideox.py", "ref_vae")

@@ -80,15 +80,26 @@ def main() -> None:
     opt_state = replicate(mesh, opt_state)
     train_batch = dict(shard_batch(mesh, batch), **ropes)
 
-    # AOT-compile, then rendezvous on the coordination service: under load the
-    # two processes' compile times can skew past Gloo's 30 s collective-setup
-    # window — entering execution together keeps the psum rendezvous short
+    # AOT-compile, then rendezvous before executing: under load the two
+    # processes' compile times can skew past Gloo's 30 s collective-setup
+    # window — entering execution together keeps the psum rendezvous short.
+    # The barrier is a plain filesystem one (both processes share a tmp dir,
+    # argv[3]) — no private JAX APIs, no device collectives of its own.
     compiled = step.lower(params, opt_state, train_batch,
                           jax.random.PRNGKey(1)).compile()
-    from jax._src import distributed
+    import time
 
-    distributed.global_state.client.wait_at_barrier("to2v_step_compiled",
-                                                    300_000)
+    barrier_dir = sys.argv[3]
+    with open(os.path.join(barrier_dir, f"compiled_{pid}"), "w"):
+        pass
+    deadline = time.monotonic() + 300
+    while not all(
+        os.path.exists(os.path.join(barrier_dir, f"compiled_{p}"))
+        for p in range(2)
+    ):
+        if time.monotonic() > deadline:
+            raise TimeoutError("peer never reached the compile barrier")
+        time.sleep(0.05)
     _, _, metrics = compiled(params, opt_state, train_batch,
                              jax.random.PRNGKey(1))
     loss = float(metrics["loss"])

@@ -272,6 +272,36 @@ def test_packed_kernel_extreme_norm_scales_stay_finite():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_packed_kernel_all_negative_rows_stay_finite():
+    """The other side of the clip: rows whose every shifted score underflows
+    exp2 to 0 (all-negative scores under a near-clip bound C) must not divide
+    by l=0 — the denominator floor degrades those rows to 0, not NaN."""
+    from tokensgen_tpu.kernels import attention as A
+
+    rng = np.random.default_rng(21)
+    b, h, s, d = 1, 2, 256, 64
+    # keys ~identical up to noise, queries = -keys: after LN the score of every
+    # (q_i, k_j) is ~ -||u||^2 * fold << -C for ALL keys of every row
+    base = rng.normal(size=(1, 1, h * d)).astype(np.float32)
+    k = jnp.asarray(base + 1e-3 * rng.normal(size=(b, s, h * d)).astype(np.float32))
+    q = -k
+    v = jnp.asarray(rng.normal(size=(b, s, h * d)).astype(np.float32))
+    g = jnp.full((d,), 50.0, jnp.float32)  # bound clips at 120
+    bs_ = jnp.zeros((d,), jnp.float32)
+    tq = A.make_prologue(d, [(None, s)], g, bs_, fold=d**-0.5)
+    tk = A.make_prologue(d, [(None, s)], g, bs_)
+    out = A._flash_fused_packed_tpu(q, k, v, jnp.zeros((b, s), jnp.float32),
+                                    tq, tk, h, 128, 128, False, 1e-6,
+                                    True, True, interpret=True)
+    assert np.isfinite(np.asarray(out)).all()
+    # the lse output of the training path must be finite too (log of floored l)
+    out2, lse = A._flash_fused_packed_tpu(
+        q, k, v, jnp.zeros((b, s), jnp.float32), tq, tk, h, 128, 128, False,
+        1e-6, True, True, interpret=True, with_lse=True)
+    assert np.isfinite(np.asarray(out2)).all()
+    assert np.isfinite(np.asarray(lse)).all()
+
+
 def test_packed_kernel_batched_tables_interpret_mode():
     """Per-sample rope tables ([B, S, D], the FIFO's traced-grid case) drive a
     different BlockSpec index map in the packed kernel — exercise it."""

@@ -149,3 +149,68 @@ def test_save_videos_grid(tmp_path):
     save_videos_grid(out, vids, fps=4.0)
     frames = read_frames(out)
     assert frames.shape == (4, 32, 144, 3)  # n_rows=floor(sqrt(3))=1, 3 cols
+
+
+def test_mira_malformed_scene_file_skips_row(video_dir, tmp_path):
+    """A scene that passes qualification but can't fit one full window (a
+    malformed/inconsistent scene file) must skip the row, not crash."""
+    scene_file = tmp_path / "scenes_bad.txt"
+    # video 1: scene passes the native-length qualification (>=54 native
+    # frames) but claims a fps far off -> window doesn't fit; video 2 is fine
+    scene_file.write_text(
+        "1 0,55\n"         # 55 native frames >= 54 qualifies, but 55/30*10=18
+        "2 10,100\n"       # 90 frames -> 30 sampled -> fits want=18
+    )
+    from tokensgen_tpu.data import MiraDataset
+
+    ds = MiraDataset(
+        str(video_dir / "index.csv"), str(video_dir), height=32, width=48,
+        sample_fps=10.0, chunk_size=9, max_num_chunks=2, seed=0,
+        use_scene_detect=True, scene_detect_file=str(scene_file),
+    )
+    # force the short-scene case: 55 native frames -> grid of 18 == want is ok;
+    # shrink to 50 via a direct call to check the None path
+    assert ds._scene_sample_idx([(0, 50)], fps=30.0, want=18) is None
+    item = ds[0]  # row 1's scene grid (18) fits exactly; must not crash
+    assert item["pixel_values"].shape == (18, 32, 48, 3)
+
+
+def test_webvid_dataset(tmp_path):
+    """WebVid10M preprocessed-frame loader (`data/webvideo.py:29-127`): frames +
+    depth + motion value, [-1,1] CHW, skip-and-redraw on missing items."""
+    import cv2
+
+    from tokensgen_tpu.data.mira import WebVideoDataset
+
+    rng = np.random.default_rng(0)
+    root = tmp_path
+    (root / "videos").mkdir()
+    (root / "depth").mkdir()
+    (root / "motion").mkdir()
+    for vid in ("a1",):
+        fd = root / "videos" / vid
+        dd = root / "depth" / vid
+        md = root / "motion" / vid
+        fd.mkdir(); dd.mkdir(); md.mkdir()
+        for n in range(14):
+            img = rng.integers(0, 255, size=(40, 60, 3), dtype=np.uint8)
+            cv2.imwrite(str(fd / f"frame_{n}.jpg"), img)
+            cv2.imwrite(str(dd / f"frame_{n}.jpg"), img)
+        (md / f"{vid}_average_motion.txt").write_text("0.75\n")
+    csv = root / "webvid.csv"
+    # row b2 has no frames on disk -> must redraw to a1
+    csv.write_text("videoid,name\na1,a cat\nb2,missing\n")
+
+    ds = WebVideoDataset(str(csv), str(root / "videos"),
+                         depth_dir=str(root / "depth"),
+                         motion_dir=str(root / "motion"),
+                         sample_size=32, sample_n_frames=14)
+    assert len(ds) == 2
+    for i in range(2):
+        item = ds[i]
+        assert item["videoid"] == "a1"
+        assert item["pixel_values"].shape == (14, 3, 32, 32)
+        assert item["depth_pixel_values"].shape == (14, 3, 32, 32)
+        assert -1.0 <= item["pixel_values"].min() <= item["pixel_values"].max() <= 1.0
+        assert item["motion_values"] == 0.75
+        assert item["caption"] == "a cat"

@@ -1,0 +1,66 @@
+"""Config-driven smoke of the inference CLI (`infer.py --smoke`), including the
+DINOv2 conditioning path (`use_vae_as_encoder: false`,
+`infer_cogvideo_mp_fifo.py:138-183,300-320`)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_source_video(path):
+    from tokensgen_tpu.data.video_io import write_video
+
+    rng = np.random.default_rng(0)
+    frames = rng.uniform(-1, 1, size=(20, 32, 48, 3)).astype(np.float32)
+    write_video(str(path), frames, fps=10)
+
+
+def _run_infer(tmp_path, extra_cfg):
+    src = tmp_path / "src.mp4"
+    _write_source_video(src)
+    cfg = f"""
+name_prefix: smoke
+output_dir: {tmp_path}/out
+seed: 3
+{extra_cfg}
+video_ipadapter_params:
+  scale: [0.6]
+input_config:
+  public:
+    sample_fps: 10
+    output_fps: 10
+  item_a:
+    prompt: "a tiny smoke test"
+    video: {src}
+    params:
+      max_num_chunks: 2
+"""
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(cfg)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    res = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "infer.py"),
+         "--config", str(cfg_path), "--smoke"],
+        capture_output=True, text=True, timeout=1200, env=env, cwd=_REPO)
+    assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-3000:]
+    run_dirs = sorted((tmp_path / "out").iterdir())
+    assert run_dirs, res.stdout
+    out = run_dirs[-1]
+    for suffix in ("source.mp4", "orig.mp4", "fifo.mp4", "latents.npy"):
+        assert list(out.glob(f"*_{suffix}")), (suffix, sorted(os.listdir(out)))
+    lat = np.load(next(out.glob("*_latents.npy")))
+    assert np.isfinite(lat).all()
+    return res
+
+
+@pytest.mark.slow
+def test_infer_smoke_edit_dinov2(tmp_path):
+    """Edit workload with the DINOv2 image-encoder conditioning path."""
+    _run_infer(tmp_path, "use_vae_as_encoder: false")

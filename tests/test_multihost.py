@@ -23,7 +23,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_train_step():
+def test_two_process_train_step(tmp_path):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # child sets its own device count
@@ -32,7 +32,7 @@ def test_two_process_train_step():
         + env.get("PYTHONPATH", "").split(os.pathsep))
     procs = [
         subprocess.Popen(
-            [sys.executable, _CHILD, str(port), str(pid)],
+            [sys.executable, _CHILD, str(port), str(pid), str(tmp_path)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for pid in range(2)
     ]

@@ -421,3 +421,255 @@ def test_resampler_forward_parity_no_rope():
         ref_out = tm(torch.from_numpy(x))
     got = Resampler(cfg).apply({"params": params}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), ref_out.numpy(), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# 3D causal VAE parity through the weight converter (BASELINE gate #1 proxy)
+# ---------------------------------------------------------------------------
+
+
+def _ref_tiny_vae(seed=0, sample_height=96, sample_width=80):
+    """Randomly-initialised reference torch VAE at the tiny test config
+    (`autoencoder_kl_cogvideox.py:922-1020`)."""
+    ref_vae = shim.load_reference_vae()
+    torch.manual_seed(seed)
+    vae = ref_vae.AutoencoderKLCogVideoX(
+        block_out_channels=(8, 16, 16, 32), layers_per_block=1,
+        norm_num_groups=4, sample_height=sample_height,
+        sample_width=sample_width, latent_channels=16).eval()
+    return vae
+
+
+def _our_tiny_vae(tm, sample_height=96, sample_width=80):
+    from tokensgen_tpu.convert.torch_weights import convert_vae
+    from tokensgen_tpu.models import vae3d
+
+    cfg = vae3d.VAEConfig.tiny(sample_height=sample_height,
+                               sample_width=sample_width)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = {"params": convert_vae(sd, cfg)}
+    return cfg, params
+
+
+def _to_ours(x_torch):  # [B, C, T, H, W] -> [B, T, H, W, C]
+    return jnp.asarray(x_torch.numpy().transpose(0, 2, 3, 4, 1))
+
+
+def _to_ref(x_ours):  # [B, T, H, W, C] -> [B, C, T, H, W]
+    return np.asarray(x_ours).transpose(0, 4, 1, 2, 3)
+
+
+def test_vae_causal_conv_cache_parity():
+    """Conv-cache ("fake context parallel") continuity: two frame batches
+    through our CausalConv3d-with-carry must equal the reference module's
+    stateful conv_cache path (`autoencoder_kl_cogvideox.py:120-145`)."""
+    ref_vae = shim.load_reference_vae()
+    from tokensgen_tpu.models.vae3d import CausalConv3d
+
+    torch.manual_seed(3)
+    tm = ref_vae.CogVideoXCausalConv3d(4, 6, kernel_size=3).eval()
+    x = torch.randn(2, 4, 7, 8, 10)
+    with torch.no_grad():
+        ref1 = tm(x[:, :, :4])
+        ref2 = tm(x[:, :, 4:])  # uses conv_cache from batch 1
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = {"params": {"conv": {
+        "kernel": sd["conv.weight"].transpose(2, 3, 4, 1, 0),
+        "bias": sd["conv.bias"],
+    }}}
+    m = CausalConv3d(6)
+    cache = {}
+    got1 = m.apply(params, _to_ours(x[:, :, :4]), cache)
+    got2 = m.apply(params, _to_ours(x[:, :, 4:]), cache)
+    np.testing.assert_allclose(_to_ref(got1), ref1.numpy(), atol=2e-5)
+    np.testing.assert_allclose(_to_ref(got2), ref2.numpy(), atol=2e-5)
+
+
+def test_vae_encode_parity_frame_batched():
+    """Full encoder, 17 frames = two reference frame batches (9 + 8) with the
+    conv cache carried between them (`:1092-1108`), through convert_vae on the
+    real torch state dict."""
+    from tokensgen_tpu.models.vae3d import VAERunner
+
+    tm = _ref_tiny_vae(seed=4)
+    cfg, params = _our_tiny_vae(tm)
+    torch.manual_seed(40)
+    x = torch.randn(1, 3, 17, 96, 80)
+    with torch.no_grad():
+        ref_moments = tm._encode(x)
+    runner = VAERunner(cfg, params)
+    got = runner.encode(_to_ours(x))
+    assert _to_ref(got).shape == tuple(ref_moments.shape)
+    np.testing.assert_allclose(_to_ref(got), ref_moments.numpy(), atol=2e-4)
+
+
+def test_vae_decode_parity_frame_batched():
+    """Full decoder, 5 latent frames = reference batches (3 + 2) (`:1144-1159`),
+    incl. the SpatialNorm zq conditioning and first-frame-aware upsampling."""
+    from tokensgen_tpu.models.vae3d import VAERunner
+
+    tm = _ref_tiny_vae(seed=5)
+    cfg, params = _our_tiny_vae(tm)
+    torch.manual_seed(50)
+    z = torch.randn(1, 16, 5, 12, 10)
+    with torch.no_grad():
+        ref_out = tm._decode(z).sample
+    runner = VAERunner(cfg, params)
+    got = runner.decode(_to_ours(z))
+    assert _to_ref(got).shape == tuple(ref_out.shape)
+    np.testing.assert_allclose(_to_ref(got), ref_out.numpy(), atol=2e-4)
+
+
+def test_vae_tiled_encode_parity():
+    """Spatial tiling with overlap blending (`tiled_encode`, `:1206-1250`)."""
+    from tokensgen_tpu.models.vae3d import VAERunner
+
+    tm = _ref_tiny_vae(seed=6)
+    tm.enable_tiling()
+    cfg, params = _our_tiny_vae(tm)
+    torch.manual_seed(60)
+    x = torch.randn(1, 3, 9, 96, 80)
+    with torch.no_grad():
+        ref_moments = tm._encode(x)
+    runner = VAERunner(cfg, params, use_tiling=True)
+    got = runner.encode(_to_ours(x))
+    assert _to_ref(got).shape == tuple(ref_moments.shape)
+    np.testing.assert_allclose(_to_ref(got), ref_moments.numpy(), atol=2e-4)
+
+
+def test_vae_tiled_decode_parity():
+    """`tiled_decode` overlap blend (`:1277-1359`) incl. the 13-latent-chunk
+    frame grouping, per-tile cache carry and V/H blend order. 13 frames = the
+    production per-call shape (`decode_latents` chunks by 13, `:676-684`)."""
+    from tokensgen_tpu.models.vae3d import VAERunner
+
+    tm = _ref_tiny_vae(seed=7)
+    tm.enable_tiling()
+    cfg, params = _our_tiny_vae(tm)
+    torch.manual_seed(70)
+    z = torch.randn(1, 16, 13, 12, 10)
+    with torch.no_grad():
+        ref_out = tm._decode(z).sample
+    runner = VAERunner(cfg, params, use_tiling=True)
+    got = runner.decode(_to_ours(z))
+    assert _to_ref(got).shape == tuple(ref_out.shape)
+    np.testing.assert_allclose(_to_ref(got), ref_out.numpy(), atol=2e-4)
+
+
+def test_vae_roundtrip_mode_parity():
+    """encode -> posterior mode -> decode, the deterministic end-to-end path
+    the latent-precompute tool uses (`calculate_vae_latents.py:1618-1651`)."""
+    from tokensgen_tpu.models.vae3d import VAERunner, sample_latent
+
+    tm = _ref_tiny_vae(seed=8)
+    cfg, params = _our_tiny_vae(tm)
+    torch.manual_seed(80)
+    x = torch.randn(1, 3, 9, 96, 80)
+    with torch.no_grad():
+        post = tm.encode(x).latent_dist
+        ref_out = tm._decode(post.mode()).sample
+    runner = VAERunner(cfg, params)
+    moments = runner.encode(_to_ours(x))
+    z = sample_latent(moments, rng=None)
+    got = runner.decode(z)
+    np.testing.assert_allclose(_to_ref(got), ref_out.numpy(), atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# VIP processor variants V2/V3/V4 through the oracle transformer
+# (`attention_processor.py:2157-2662`)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("func_type", ["2", "3", "4"])
+def test_dit_forward_parity_vip_variants(func_type):
+    """Reference tiny transformer with each VIP func_type via set_vip_layers ->
+    convert_dit -> our DiT: forwards must agree. V2: video-only cross-attn
+    queries; V3: one-way (vip stream untouched, partial rope); V4: extra
+    autoregressive context stream with its own AdaLNs + scale_ar."""
+    ref_tx = shim.load_reference_transformer()
+
+    from tokensgen_tpu.convert.torch_weights import convert_dit
+    from tokensgen_tpu.models.dit import CogVideoXTransformer, DiTConfig, VIPConfig
+
+    torch.manual_seed(0)
+    tm = ref_tx.CogVideoXTransformer3DModel(
+        num_attention_heads=2, attention_head_dim=16, in_channels=16,
+        out_channels=16, time_embed_dim=32, text_embed_dim=24, num_layers=2,
+        sample_width=16, sample_height=8, max_text_seq_length=8,
+        use_rotary_positional_embeddings=True).eval()
+
+    b, f = 2, 2
+    f_ar = 0
+    hw = (8 // 2) * (16 // 2)  # tokens per frame (patch 2)
+    kwargs = dict(length=12, func_type=func_type,
+                  resampler_params=dict(output_dim=24, num_height_queries=2,
+                                        num_width_queries=3,
+                                        num_temporal_queries=2))
+    if func_type == "4":
+        f, f_ar = 4, 2
+        # V1/V4 broadcast a per-sample scale list; V2/V3 multiply a float
+        kwargs.update(scale=[0.8] * b, ar_length=f_ar * hw, scale_ar=0.5)
+    else:
+        kwargs.update(scale=0.8)
+        # reference bug workaround: `CogVideoXBlock.set_vip_layers` passes
+        # scale_ar/ar_num_tokens to every processor (`:194-205`) but the
+        # V2/V3 __init__s don't accept them — absorb the extras so the real
+        # grafting machinery runs unmodified otherwise
+        ref_ap = shim.sys.modules["longvgen.models.attention_processor"]
+        base_cls = {
+            "2": ref_ap.VideoIPAdapterV2CogVideoXAttnProcessor2_0,
+            "3": ref_ap.VideoIPAdapterV3CogVideoXAttnProcessor2_0,
+        }[func_type]
+
+        class _Absorb(base_cls):
+            def __init__(self, *a, scale_ar=None, ar_num_tokens=None, **k):
+                super().__init__(*a, **k)
+
+        name = base_cls.__name__
+        old = getattr(ref_tx, name)
+        setattr(ref_tx, name, _Absorb)
+        try:
+            tm.set_vip_layers(**kwargs)
+        finally:
+            setattr(ref_tx, name, old)
+    if func_type == "4":
+        tm.set_vip_layers(**kwargs)
+    tm.eval()
+
+    vc = VIPConfig(length=12, output_dim=24, num_temporal_queries=2,
+                   num_height_queries=2, num_width_queries=3,
+                   func_type=func_type, scale=0.8, scale_ar=0.5,
+                   ar_length=f_ar * hw)
+    cfg = DiTConfig.tiny(vip=vc)
+    params = convert_dit({k: v.numpy() for k, v in tm.state_dict().items()}, cfg)
+
+    h, w = cfg.sample_height, cfg.sample_width
+    x = _rand((b, f, 16, h, w), 40)
+    text = _rand((b, cfg.max_text_seq_length, cfg.text_embed_dim), 41)
+    vip_tokens = _rand((b, 2, 24, 2, 3), 42)
+    t_np = np.array([10, 900], dtype=np.int64)
+    d = cfg.attention_head_dim
+    # base rope covers the non-ar ("current") frames; vip-image rope covers all
+    rope = _rope_tuple(d, np.arange(f - f_ar), np.arange(h // 2), np.arange(w // 2))
+    vip_img_rope = _rope_tuple(d, np.arange(f) + 1000, np.arange(h // 2),
+                               np.arange(w // 2))
+    vip_cond_rope = _rope_tuple(d, np.arange(2) + 1000, np.arange(2), np.arange(3))
+
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x), torch.from_numpy(text),
+                     torch.from_numpy(t_np),
+                     vip_encoder_hidden_states=torch.from_numpy(vip_tokens),
+                     image_rotary_emb=rope,
+                     vip_image_rotary_emb=vip_img_rope,
+                     vip_condition_rotary_emb=vip_cond_rope,
+                     return_dict=False)[0]
+
+    got = CogVideoXTransformer(cfg).apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(text), jnp.asarray(t_np),
+        vip_hidden_states=jnp.asarray(vip_tokens),
+        image_rotary_emb=_jnp_rope(rope),
+        vip_image_rotary_emb=_jnp_rope(vip_img_rope),
+        vip_condition_rotary_emb=_jnp_rope(vip_cond_rope))
+    assert np.asarray(got).shape == tuple(ref_out.shape)
+    np.testing.assert_allclose(np.asarray(got), ref_out.numpy(), atol=2e-4)

@@ -104,10 +104,19 @@ def convert_dit(sd: Dict[str, np.ndarray], config: DiTConfig) -> Dict:
             },
         }
         if config.vip is not None:
-            blk["vip_norm1"] = {"linear": _lin(sd, f"{pre}.vip_norm1.linear"),
-                                "norm": _ln(sd, f"{pre}.vip_norm1.norm")}
-            blk["vip_norm2"] = {"linear": _lin(sd, f"{pre}.vip_norm2.linear"),
-                                "norm": _ln(sd, f"{pre}.vip_norm2.norm")}
+            # func_type "3" grafts no vip AdaLN (the vip stream passes through
+            # blocks unchanged); "4" adds the autoregressive-stream AdaLNs
+            # (`cogvideox_transformer_3d.py:158-191`)
+            if config.vip.func_type in ("1", "2", "4"):
+                blk["vip_norm1"] = {"linear": _lin(sd, f"{pre}.vip_norm1.linear"),
+                                    "norm": _ln(sd, f"{pre}.vip_norm1.norm")}
+                blk["vip_norm2"] = {"linear": _lin(sd, f"{pre}.vip_norm2.linear"),
+                                    "norm": _ln(sd, f"{pre}.vip_norm2.norm")}
+            if config.vip.func_type == "4":
+                blk["ar_norm1"] = {"linear": _lin(sd, f"{pre}.ar_norm1.linear"),
+                                   "norm": _ln(sd, f"{pre}.ar_norm1.norm")}
+                blk["ar_norm2"] = {"linear": _lin(sd, f"{pre}.ar_norm2.linear"),
+                                   "norm": _ln(sd, f"{pre}.ar_norm2.norm")}
             blk["attn1"].update({
                 "vip_to_q": _lin(sd, f"{pre}.attn1.processor.vip_to_q"),
                 "vip_to_k": _lin(sd, f"{pre}.attn1.processor.vip_to_k"),

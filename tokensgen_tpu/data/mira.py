@@ -129,9 +129,15 @@ class MiraDataset:
         for start_f, end_f in scenes:
             num_f = int((end_f - start_f) / fps * self.sample_fps)
             grid = np.linspace(start_f, end_f, num_f, endpoint=False).astype(np.int64)
-            assert len(grid) >= want, (len(grid), want)
+            if len(grid) < want:
+                # qualification normally guarantees every kept scene fits a
+                # full window; a malformed scene file must not crash the
+                # loader — drop the short scene instead
+                continue
             grids.append(grid)
             n_starts.append(num_f - want + 1)
+        if not grids:
+            return None
         cum = np.cumsum([0] + n_starts, dtype=np.float64)
         cum /= max(1.0, cum[-1])
         pick = 0
@@ -142,19 +148,31 @@ class MiraDataset:
     def __getitem__(self, i: int) -> Dict:
         # unqualified (scene-detect) videos are skipped: resample a random row
         # (`long_video.py:571-580`)
-        while self.use_scene_detect and str(self.df.iloc[i]["index"]) in self.unqualified_videos:
-            i = self.rng.randint(0, len(self.df) - 1)
-        row = self.df.iloc[i]
-        path = mira_video_path(self.video_dir, int(row["index"]))
-        n, fps = video_metadata(path)
-        want = self.chunk_size * self.max_num_chunks
+        sample_idx = None
+        while True:
+            if self.use_scene_detect and len(self.unqualified_videos) >= len(self.df):
+                raise RuntimeError("every video is scene-detect-unqualified")
+            while (self.use_scene_detect
+                   and str(self.df.iloc[i]["index"]) in self.unqualified_videos):
+                i = self.rng.randint(0, len(self.df) - 1)
+            row = self.df.iloc[i]
+            path = mira_video_path(self.video_dir, int(row["index"]))
+            n, fps = video_metadata(path)
+            want = self.chunk_size * self.max_num_chunks
 
-        scenes = self.scene_detect.get(str(row["index"])) if self.use_scene_detect else None
-        if scenes:
-            sample_idx = self._scene_sample_idx(scenes, fps, want)
-        else:
-            num_f = int(n / fps * self.sample_fps)
-            sample_idx = np.linspace(0, n, num_f, endpoint=False).astype(np.int64)
+            scenes = (self.scene_detect.get(str(row["index"]))
+                      if self.use_scene_detect else None)
+            if scenes:
+                sample_idx = self._scene_sample_idx(scenes, fps, want)
+                if sample_idx is None:
+                    # malformed scene file (no scene fits a full window despite
+                    # qualification): skip the row like an unqualified video
+                    self.unqualified_videos.add(str(row["index"]))
+                    continue
+            else:
+                num_f = int(n / fps * self.sample_fps)
+                sample_idx = np.linspace(0, n, num_f, endpoint=False).astype(np.int64)
+            break
 
         start_idx = 0
         if self.random_sample and len(sample_idx) > want:
@@ -316,20 +334,94 @@ class VIPMiraDataset:
 
 
 class WebVideoDataset:
-    """WebVid10M-style CSV (`videoid`, `name`, `page_dir`) — legacy layout
-    (`data/webvideo.py`)."""
+    """WebVid10M preprocessed-frames dataset (`data/webvideo.py:29-127`).
 
-    def __init__(self, csv_file: str, video_dir: str, **mira_kwargs):
+    The reference's `WebVid10M` reads, per CSV row (`videoid`, `name`, ...):
+    * RGB frames `<video_dir>/<videoid>/*_<n>.jpg` (sorted by the frame number
+      after the last `_`, first `sample_n_frames` kept),
+    * depth frames `<depth_dir>/<videoid>/` in the same layout,
+    * a scalar motion value `<motion_dir>/<videoid>/<videoid>_average_motion.txt`,
+    re-drawing a random row when any of the three is missing or short
+    (`:82-94`). Frames come back center-cropped/resized to ``sample_size`` and
+    normalized to [-1, 1] (mean/std 0.5, `:50-54`).
+    """
+
+    def __init__(self, csv_file: str, video_dir: str,
+                 depth_dir: Optional[str] = None,
+                 motion_dir: Optional[str] = None,
+                 sample_size: int = 256, sample_n_frames: int = 14,
+                 seed: int = 0):
         self.video_dir = video_dir
+        self.depth_dir = depth_dir or video_dir
+        self.motion_dir = motion_dir or video_dir
+        self.sample_size = ((sample_size, sample_size)
+                            if isinstance(sample_size, int) else tuple(sample_size))
+        self.sample_n_frames = sample_n_frames
         self.df = pd.read_csv(csv_file).reset_index(drop=True)
-        self.mira_kwargs = mira_kwargs
+        self.rng = random.Random(seed)
 
     def __len__(self) -> int:
         return len(self.df)
 
-    def video_path(self, i: int) -> str:
-        row = self.df.iloc[i]
-        return os.path.join(self.video_dir, str(row["page_dir"]), f"{row['videoid']}.mp4")
+    @staticmethod
+    def _frame_no(name: str) -> int:
+        return int(name.rsplit("_", 1)[1].split(".")[0])
+
+    def _load_frames(self, folder: str) -> np.ndarray:
+        import cv2
+
+        names = sorted(os.listdir(folder), key=self._frame_no)[:self.sample_n_frames]
+        frames = []
+        for n in names:
+            img = cv2.imread(os.path.join(folder, n), cv2.IMREAD_COLOR)
+            frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+        return np.stack(frames)  # [F, H, W, 3] uint8
+
+    def _crop_resize(self, frames: np.ndarray) -> np.ndarray:
+        import cv2
+
+        f, h, w, _ = frames.shape
+        m = min(h, w)
+        top, left = (h - m) // 2, (w - m) // 2
+        frames = frames[:, top:top + m, left:left + m]
+        th, tw = self.sample_size
+        if (m, m) != (th, tw):
+            frames = np.stack(
+                [cv2.resize(fr, (tw, th), interpolation=cv2.INTER_LINEAR)
+                 for fr in frames])
+        return frames
+
+    def __getitem__(self, idx: int) -> Dict:
+        for _ in range(8 * len(self.df) + 8):
+            row = self.df.iloc[idx]
+            vid = str(row["videoid"])
+            frame_dir = os.path.join(self.video_dir, vid)
+            depth_dir = os.path.join(self.depth_dir, vid)
+            motion_file = os.path.join(self.motion_dir, vid,
+                                       f"{vid}_average_motion.txt")
+            ok = (os.path.isdir(frame_dir) and os.path.isdir(depth_dir)
+                  and os.path.isfile(motion_file)
+                  and len(os.listdir(frame_dir)) >= self.sample_n_frames
+                  and len(os.listdir(depth_dir)) >= self.sample_n_frames)
+            if ok:
+                break
+            idx = self.rng.randrange(len(self.df))  # re-draw (`:82-94`)
+        else:
+            raise RuntimeError("no qualified WebVid item found")
+
+        px = self._crop_resize(self._load_frames(frame_dir))
+        depth = self._crop_resize(self._load_frames(depth_dir))
+        with open(motion_file) as fh:
+            motion = float(fh.read().strip())
+        to_chw = lambda x: (x.transpose(0, 3, 1, 2).astype(np.float32) / 255.0
+                            - 0.5) / 0.5
+        return {
+            "pixel_values": to_chw(px),         # [F, 3, H, W] in [-1, 1]
+            "depth_pixel_values": to_chw(depth),
+            "motion_values": motion,
+            "caption": str(row.get("name", "")),
+            "videoid": vid,
+        }
 
 
 def collate(items: Sequence[Dict]) -> Dict:

@@ -343,7 +343,7 @@ def _flash_fused_tpu(
     key_bias = key_bias[:, None, :] * _LOG2E
 
     # tables: normalize to [Bt, S, D] (Bt==1 shared across the batch)
-    def norm_tabs(tabs, s_p, pad):
+    def norm_tabs(tabs, pad):
         cosg, sin, add, rg = tabs
         batched = cosg.ndim == 3
         tabs = _pad_tabs((cosg, sin, add, rg), pad, batched)
@@ -352,8 +352,8 @@ def _flash_fused_tpu(
             cosg, sin, add = cosg[None], sin[None], add[None]
         return cosg, sin, add, rg, (cosg.shape[0] != 1)
 
-    cq, sq_t, aq, rq, bq_batched = norm_tabs(tabs_q, sq_p, sq_p - sq)
-    ck, sk, ak, rk, bk_batched = norm_tabs(tabs_k, skv_p, skv_p - skv)
+    cq, sq_t, aq, rq, bq_batched = norm_tabs(tabs_q, sq_p - sq)
+    ck, sk, ak, rk, bk_batched = norm_tabs(tabs_k, skv_p - skv)
     # tables fold the softmax scale; the exp2-domain conversion is kernel-internal
     cq, sq_t, aq = cq * _LOG2E, sq_t * _LOG2E, aq * _LOG2E
 
@@ -695,14 +695,20 @@ def _flash_packed_kernel(
     @pl.when(j == num_kv - 1)
     def _finalize():
         l2 = jnp.where(lanes < dh, l_scr[0, :, :1], l_scr[1, :, :1])
+        if no_max:
+            # if every shifted score in a row underflows exp2 (all-negative
+            # score row under a near-clip bound C), l sums to 0 — floor the
+            # denominator so the row degrades to 0 output instead of NaN
+            l2 = jnp.maximum(l2, jnp.finfo(jnp.float32).tiny)
         o_ref[0, 0] = (acc_scr[:] / l2).astype(o_ref.dtype)
         if with_lse:
             # natural-domain logsumexp per row: lane 0 = head A, lane 1 = B
             # (the backward kernel re-lays these out in XLA). In no_max mode
             # the shift C is re-added by the wrapper.
             if no_max:
-                lse_a = jnp.log(l_scr[0, :, :1])
-                lse_b = jnp.log(l_scr[1, :, :1])
+                tiny = jnp.finfo(jnp.float32).tiny
+                lse_a = jnp.log(jnp.maximum(l_scr[0, :, :1], tiny))
+                lse_b = jnp.log(jnp.maximum(l_scr[1, :, :1], tiny))
             else:
                 lse_a = m_scr[0, :, :1] * _LN2 + jnp.log(l_scr[0, :, :1])
                 lse_b = m_scr[1, :, :1] * _LN2 + jnp.log(l_scr[1, :, :1])

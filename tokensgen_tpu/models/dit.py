@@ -249,7 +249,7 @@ class JointVIPAttention(nn.Module):
         base_segs = [(None, text_len), (image_rotary_emb, s_video)]
         tabs_q = make_prologue(d, base_segs, gq, bq, fold=sm_scale)
         tabs_k = make_prologue(d, base_segs, gk, bk)
-        out = attn(q, k, v, tabs_q, tabs_k, key_bias=key_bias)  # [B, H, T+Sv, d]
+        out = attn(q, k, v, tabs_q, tabs_k, key_bias=key_bias)  # [B, T+Sv, H*D]
 
         vip_attn_out = None
         ar_attn_out = None

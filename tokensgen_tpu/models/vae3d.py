@@ -422,6 +422,9 @@ class VAERunner:
         # (measured ~4% faster) changes outputs beyond rounding and breaks
         # the decode-causality contract at batch granularity
         self.num_latent_frames_batch_size = 2
+        # tiled decode groups frames into 13-latent chunks (the reference
+        # hard-codes nf_per_chunk=13 in tiled_decode, `:1317-1326`)
+        self.nf_per_chunk = 13
         self.tile_sample_min_height = tile_sample_min_height or config.sample_height // 2
         self.tile_sample_min_width = tile_sample_min_width or config.sample_width // 2
         self.tile_overlap_factor_height = 1 / 6
@@ -483,6 +486,25 @@ class VAERunner:
             outs.append(out)
         return jnp.concatenate(outs, axis=1)
 
+    def _decode_frames_chunked(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Tiled-decode frame layout (`tiled_decode`, `:1317-1337`): frames are
+        grouped into `nf_per_chunk` (13) latent chunks, each chunk frame-batched
+        2+rem, with the conv cache carried across ALL chunks of one tile.
+        (Deviation: the reference silently DROPS the frames past the last whole
+        chunk; here a trailing partial chunk is decoded as a short chunk.)"""
+        nf = self.nf_per_chunk
+        f = z.shape[1]
+        cache: Cache = {}
+        outs = []
+        for c0 in range(0, f, nf):
+            chunk_f = min(nf, f - c0)
+            spans = _frame_batches(chunk_f, self.num_latent_frames_batch_size)
+            for start, end in spans:
+                out, cache = self._decode_jit(
+                    self.params, z[:, c0 + start:c0 + end], cache)
+                outs.append(out)
+        return jnp.concatenate(outs, axis=1)
+
     def decode(self, z: jnp.ndarray) -> jnp.ndarray:
         # Big decodes always tile: a full-frame 480x720 bf16 decode compiles
         # to a ~17 GB program (up_3-level 480x720x256 temporaries x 9 px
@@ -535,6 +557,10 @@ class VAERunner:
                     tile = self._blend_v(rows[i - 1][j], tile, blend_h)
                 if j > 0:
                     tile = self._blend_h(row[j - 1], tile, blend_w)
+                # the reference blends IN PLACE (`blend_v`/`blend_h` mutate b,
+                # `:1253-1267`), so later tiles blend against already-blended
+                # neighbors — write the blended tile back to match
+                rows[i][j] = tile
                 result_row.append(tile[:, :, :limit_h, :limit_w])
             result_rows.append(jnp.concatenate(result_row, axis=3))
         # crop to the exact target — clipped edge tiles can over-produce
@@ -566,5 +592,5 @@ class VAERunner:
         return self._tiled(
             z, self.tile_latent_min_height, self.tile_latent_min_width,
             overlap_h, overlap_w, blend_h, blend_w, limit_h, limit_w,
-            self._decode_frames, z.shape[2] * sc, z.shape[3] * sc,
+            self._decode_frames_chunked, z.shape[2] * sc, z.shape[3] * sc,
         )

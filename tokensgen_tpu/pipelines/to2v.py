@@ -59,6 +59,13 @@ class To2VConfig:
     vae_scale_factor_spatial: int = 8
     vae_scale_factor_temporal: int = 4
     stochastic: bool = True
+    # False selects the DINOv2 image-encoder conditioning path (the reference's
+    # `use_vae_as_encoder: false`, `infer_cogvideo_mp_fifo.py:300-320`);
+    # requires the pipeline's ``image_encoder=(DINOv2Encoder, params)``
+    use_vae_as_encoder: bool = True
+    # dtype of the FIFO engine's stacked emitted-frame buffer; "bfloat16"
+    # halves that buffer's HBM (the queue/scheduler math stays f32)
+    fifo_emit_dtype: str = "float32"
 
     @property
     def nf_latent(self) -> int:
@@ -178,9 +185,13 @@ class To2VPipeline:
         nf_px = cfg.num_frames_per_chunk
         b, f_px = frames.shape[0], frames.shape[1]
         num_chunks = f_px // nf_px
-        # pad one chunk of repeated last frame (`:580-582`)
-        pad = jnp.repeat(frames[:, -1:], nf_px, axis=1)
-        video = jnp.concatenate([frames, pad], axis=1)
+        # pad one chunk of repeated last frame (`:580-582`). When the caller
+        # passes a host numpy array, padding/slicing stays host-side and only
+        # one 49-frame chunk at a time ever lands in HBM (a 98-frame 720x480
+        # source is ~200 MB — real headroom during the single-chip e2e)
+        xp = np if isinstance(frames, np.ndarray) else jnp
+        pad = xp.repeat(frames[:, -1:], nf_px, axis=1)
+        video = xp.concatenate([frames, pad], axis=1)
 
         img_rope, smp_rope = self.resampler_ropes()
 
@@ -272,7 +283,7 @@ class To2VPipeline:
         self,
         frames: jnp.ndarray,  # [B, F_px, H, W, 3] in [-1, 1]
         do_cfg: bool = True,
-        num_tokens: int = 256,
+        num_tokens: Optional[int] = None,
     ) -> jnp.ndarray:
         """Full DINOv2 conditioning path (`use_vae_as_encoder: false`,
         `pipeline_cogvideox_mp_fifo.py:488-560`): antialiased 224 resize +
@@ -285,6 +296,10 @@ class To2VPipeline:
         from tokensgen_tpu.models.dinov2 import preprocess_frames
 
         enc, enc_params = self.image_encoder
+        if num_tokens is None:
+            # the reference's [:, :256] at DINOv2-large/224 keeps cls + the
+            # first num_patches-1 patches; num_patches generalises that slice
+            num_tokens = enc.config.num_patches
         b, f = frames.shape[:2]
         px = preprocess_frames(
             frames.reshape((b * f,) + frames.shape[2:]), enc.config.image_size)
@@ -464,11 +479,22 @@ class To2VPipeline:
             # params alone are 15.5 GB (DiT 14.3 + resampler 0.6 + VAE 0.4),
             # so encode, denoise and decode each get only the modules they
             # use. The encode phase needs just the VAE + resampler + the tiny
-            # patch-proj copy — the full DiT waits in host memory.
+            # patch-proj copy — the full DiT waits in host memory. (Restore
+            # VAE/resampler first: a previous offload run ends with them on
+            # host — see the tail of this method.)
+            dev0 = jax.devices()[0]
             self.dit_params = jax.device_put(
                 self.dit_params, jax.devices("cpu")[0])
+            if self.vae is not None:
+                self.vae.restore_to_device(dev0)
+            self.resampler_params = jax.device_put(self.resampler_params, dev0)
         if image_embeddings is None and frames is not None:
-            image_embeddings = self.vip_encode_video(frames, rng=r_vip)
+            if cfg.use_vae_as_encoder:
+                image_embeddings = self.vip_encode_video(frames, rng=r_vip)
+            else:
+                # `use_vae_as_encoder: false`: DINOv2 conditioning path
+                # (`pipeline_cogvideox_mp_fifo.py:488-560`)
+                image_embeddings = self.encode_image_dinov2(frames)
         if offload_vae:
             if image_embeddings is not None:
                 jax.block_until_ready(image_embeddings)
@@ -496,6 +522,7 @@ class To2VPipeline:
             use_dynamic_cfg=cfg.use_dynamic_cfg,
             use_separate_guidance=cfg.use_separate_guidance,
             stochastic=cfg.stochastic,
+            emit_dtype=cfg.fifo_emit_dtype,
             video_ipadapter_start_frame_idx=cfg.video_ipadapter_start_frame_idx,
             vip_rope_dims=(
                 self.dit_config.attention_head_dim // 4,
@@ -541,6 +568,20 @@ class To2VPipeline:
                         continue
                     cache_videos.append(self.decode_latents(track[:, :t_use]))
                 out["cache_videos"] = cache_videos
+        if offload_vae:
+            # leave the pipeline in the denoise-phase placement (DiT on
+            # device, VAE/resampler on host): a subsequent base_denoise /
+            # generate works, and the next generate(offload_vae=True) run
+            # restores the VAE itself at its encode phase. Without this, the
+            # decode phase would silently park the 14 GB DiT on host for any
+            # later call.
+            for v in out.values():
+                jax.block_until_ready(v)
+            cpu = jax.devices("cpu")[0]
+            if self.vae is not None:
+                self.vae.offload_to_host()
+            self.resampler_params = jax.device_put(self.resampler_params, cpu)
+            self.dit_params = jax.device_put(self.dit_params, jax.devices()[0])
         return out
 
     # ----------------------------------------------- alternate sampling modes

@@ -294,12 +294,16 @@ def fifo_generate(
             mb = mask.astype(queue.dtype)[None, :, None, None, None]
             return scat_l * mb, scat_x * mb, mask
 
-        outs = jax.lax.map(one_rank, rank_ids)
-        return (
-            jnp.sum(outs[0], axis=0),
-            jnp.sum(outs[1], axis=0),
-            jnp.any(outs[2], axis=0),
-        )
+        # accumulate in-place over ranks (fori_loop) instead of lax.map, whose
+        # stacked [R, B, Q, C, H, W] outputs cost ~122 MB of extra HBM at the
+        # production shape — part of the round-2 full-depth OOM budget
+        def body(idx, acc):
+            l, x, m = one_rank(rank_ids[idx])
+            return acc[0] + l, acc[1] + x, acc[2] | m
+
+        init = (jnp.zeros_like(queue), jnp.zeros_like(queue),
+                jnp.zeros((Q,), bool))
+        return jax.lax.fori_loop(0, rank_ids.shape[0], body, init)
 
     if mesh is not None and mesh.shape.get("queue", 1) > 1:
         nq = mesh.shape["queue"]

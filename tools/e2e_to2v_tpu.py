@@ -42,13 +42,15 @@ def main():
     chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     parts = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     layers = int(sys.argv[4]) if len(sys.argv) > 4 else 36
+    ff_chunks = int(sys.argv[5]) if len(sys.argv) > 5 else 4
 
     cfg = To2VConfig(
         height=480, width=720, num_frames_per_chunk=49,
         num_inference_steps=steps, num_partitions=parts, stochastic=False,
+        fifo_emit_dtype="bfloat16",  # halves the emitted-frame stack
     )
     vc = VIPConfig()
-    dcfg = DiTConfig.cogvideox_5b(vip=vc, ff_chunks=4, num_layers=layers)
+    dcfg = DiTConfig.cogvideox_5b(vip=vc, ff_chunks=ff_chunks, num_layers=layers)
     rcfg = ResamplerConfig()
     vcfg = VAEConfig.cogvideox(dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
@@ -92,8 +94,10 @@ def main():
     del dit_params, rs_params, vae_params
 
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(
-        rng.uniform(-1, 1, size=(1, chunks * 49, 480, 720, 3)), jnp.bfloat16)
+    # host-resident source video: vip_encode_video ships one 49-frame chunk
+    # at a time to HBM (a device-resident 98-frame buffer costs ~200 MB of
+    # the full-depth budget)
+    frames = rng.uniform(-1, 1, size=(1, chunks * 49, 480, 720, 3)).astype(np.float32)
     text = jnp.asarray(rng.normal(size=(1, 226, 4096)) * 0.02, jnp.bfloat16)
     neg = jnp.zeros_like(text)
 
