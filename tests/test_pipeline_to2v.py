@@ -178,3 +178,27 @@ def test_generate_offload_vae_matches(pipe):
                          rng=jax.random.PRNGKey(5), offload_vae=True)
     np.testing.assert_allclose(np.asarray(out1["video"]),
                                np.asarray(out2["video"]), rtol=1e-5, atol=1e-5)
+
+
+def test_sequential_cfg_matches_batched(pipe):
+    """sequential_cfg=True (per-branch B=1 forwards; the full-depth single-chip
+    memory mode) must produce the same latents as the batched CFG forward."""
+    import dataclasses
+
+    from tokensgen_tpu.pipelines.to2v import To2VPipeline
+
+    rng = np.random.default_rng(5)
+    emb = jnp.asarray(rng.normal(size=(2, 2 * 3, 24, 2, 3)), jnp.float32)
+    text = jnp.asarray(rng.normal(size=(1, 8, 24)), jnp.float32)
+    neg = jnp.zeros_like(text)
+    seq_pipe = To2VPipeline(
+        dataclasses.replace(pipe.cfg, sequential_cfg=True), pipe.dit_config,
+        pipe.dit_params, pipe.resampler_config, pipe.resampler_params,
+        pipe.vae, pipe.sched)
+    out_b = pipe.generate(text, neg, image_embeddings=emb, num_chunks=2,
+                          rng=jax.random.PRNGKey(6), decode=False)
+    out_s = seq_pipe.generate(text, neg, image_embeddings=emb, num_chunks=2,
+                              rng=jax.random.PRNGKey(6), decode=False)
+    np.testing.assert_allclose(np.asarray(out_b["latents"]),
+                               np.asarray(out_s["latents"]),
+                               rtol=2e-3, atol=2e-4)

@@ -66,6 +66,10 @@ class To2VConfig:
     # dtype of the FIFO engine's stacked emitted-frame buffer; "bfloat16"
     # halves that buffer's HBM (the queue/scheduler math stays f32)
     fifo_emit_dtype: str = "float32"
+    # run the CFG branches as sequential B=1 forwards instead of one batched
+    # B=2/3 forward: ~half the activation HBM for ~4.5% more step time —
+    # required for the FULL-DEPTH single-chip e2e on a 16 GB part
+    sequential_cfg: bool = False
 
     @property
     def nf_latent(self) -> int:
@@ -318,7 +322,7 @@ class To2VPipeline:
         """Closure for the samplers: (params, lat_cfg, t2d, vip_kwargs) -> pred."""
         dit, cfg = self.dit, self.cfg
 
-        def model_fn(params, lat_cfg, t2d, vip_kwargs):
+        def one_forward(params, lat, text, t2d, vip_kwargs):
             kw = {}
             if vip_kwargs is not None:
                 kw = dict(
@@ -327,11 +331,33 @@ class To2VPipeline:
                     vip_condition_rotary_emb=vip_kwargs["vip_condition_rotary_emb"],
                 )
             return dit.apply(
-                params, lat_cfg.astype(self.dit_config.dtype), text_embeds_cfg, t2d,
+                params, lat.astype(self.dit_config.dtype), text, t2d,
                 image_rotary_emb=image_rotary_emb,
                 vip_scale=jnp.asarray(cfg.vip_scale),
                 **kw,
             )
+
+        def model_fn(params, lat_cfg, t2d, vip_kwargs):
+            nb = lat_cfg.shape[0]
+            if not cfg.sequential_cfg or nb == 1:
+                return one_forward(params, lat_cfg, text_embeds_cfg, t2d,
+                                   vip_kwargs)
+            # sequential CFG: one B=1 forward per guidance branch. Halves the
+            # activation HBM of the batched forward (the difference between
+            # the full-depth single-chip FIFO fitting a 16 GB part or not)
+            # for ~4.5% more step time — the per-layer kernels are already
+            # saturated at B=1 (PERF.md round 3).
+            outs = []
+            for s in range(nb):
+                vk = None
+                if vip_kwargs is not None:
+                    vk = dict(vip_kwargs)
+                    vk["vip_hidden_states"] = \
+                        vip_kwargs["vip_hidden_states"][s:s + 1]
+                outs.append(one_forward(
+                    params, lat_cfg[s:s + 1], text_embeds_cfg[s:s + 1],
+                    t2d[s:s + 1], vk))
+            return jnp.concatenate(outs, axis=0)
 
         return model_fn
 

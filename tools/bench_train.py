@@ -44,12 +44,16 @@ def main():
     d = dcfg.attention_head_dim
     rng = np.random.default_rng(0)
 
-    n_vip = rcfg.num_temporal_queries + 1  # 5 query frames
+    n_vip = rcfg.num_temporal_queries + 1  # 5 query frames (4 + next chunk's 1st)
     batch = {
         "latents": jnp.asarray(rng.normal(size=(b, f, 16, 60, 90)), jnp.float32),
-        "vip_input": jnp.asarray(
-            rng.normal(size=(b, f, hp * wp, rcfg.embedding_dim)) * 0.02,
+        # production vip staging: 2-chunk clip resampled per chunk, 5-query
+        # window selected by index (`train_cogvideo_to2v.py:1928-1976`)
+        "vip_input_chunks": jnp.asarray(
+            rng.normal(size=(b, 2, f, hp * wp, rcfg.embedding_dim)) * 0.02,
             jnp.bfloat16),
+        "vip_emb_sel": jnp.asarray(
+            np.broadcast_to(np.arange(2, 2 + n_vip), (b, n_vip)).copy()),
         "text_embeds": jnp.asarray(
             rng.normal(size=(b, dcfg.max_text_seq_length, dcfg.text_embed_dim))
             * 0.02, jnp.bfloat16),
@@ -62,7 +66,8 @@ def main():
         "resampler_image_rotary_emb": get_3d_rotary_pos_embed_v2(
             d, np.arange(f), np.arange(hp), np.arange(wp)),
         "resampler_sampling_rotary_emb": get_3d_rotary_pos_embed_v2(
-            d, np.linspace(1000, 1000 + f, n_vip, endpoint=False),
+            d, np.linspace(1000, 1000 + f, rcfg.num_temporal_queries,
+                           endpoint=False),
             np.arange(8), np.arange(12)),
     }
 
@@ -70,7 +75,14 @@ def main():
     tcfg = to2v.To2VTrainConfig(use_8bit_adam=True)
 
     t0 = time.time()
-    params = to2v.init_params(dcfg, rcfg, jax.random.PRNGKey(0), batch)
+    # init uses a single-chunk view (4 query frames) — the DiT/resampler
+    # params are vip-length-independent, only the example ropes must match
+    init_batch = dict(batch)
+    init_batch["vip_input"] = batch["vip_input_chunks"][:, 0]
+    init_batch["vip_condition_rotary_emb"] = get_3d_rotary_pos_embed_v2(
+        d, np.arange(rcfg.num_temporal_queries) + 1000, np.arange(8),
+        np.arange(12))
+    params = to2v.init_params(dcfg, rcfg, jax.random.PRNGKey(0), init_batch)
     n_dit = param_count(params["dit"])
     n_rs = param_count(params["resampler"])
     labels = to2v.trainable_labels(params)
@@ -95,6 +107,12 @@ def main():
 
     step = jax.jit(to2v.make_train_step(dcfg, rcfg, sched, tcfg, optimizer),
                    donate_argnums=(0, 1))
+
+    if os.environ.get("BENCH_TRAIN_TRACE_ONLY") == "1":
+        # shape/type validation without compiling (CPU smoke)
+        step.lower(params, opt_state, batch, jax.random.PRNGKey(1))
+        print("TRACE OK", flush=True)
+        return
 
     t1 = time.time()
     params, opt_state, metrics = step(params, opt_state, batch,

@@ -43,11 +43,15 @@ def main():
     parts = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     layers = int(sys.argv[4]) if len(sys.argv) > 4 else 36
     ff_chunks = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+    # full depth only fits the 16 GB part with sequential-CFG forwards
+    seq_cfg = (int(sys.argv[6]) if len(sys.argv) > 6 else
+               (1 if layers > 36 else 0))
 
     cfg = To2VConfig(
         height=480, width=720, num_frames_per_chunk=49,
         num_inference_steps=steps, num_partitions=parts, stochastic=False,
         fifo_emit_dtype="bfloat16",  # halves the emitted-frame stack
+        sequential_cfg=bool(seq_cfg),
     )
     vc = VIPConfig()
     dcfg = DiTConfig.cogvideox_5b(vip=vc, ff_chunks=ff_chunks, num_layers=layers)
@@ -117,9 +121,9 @@ def main():
     float(jnp.sum(out["video"].astype(jnp.float32)))
     dt2 = time.time() - t2
     nf = chunks * 49
-    print(f"warm edit run ({layers} layers): {dt2:.1f}s for {nf} frames at "
-          f"{steps} steps, {parts} partition(s) -> {nf/dt2:.2f} frames/s "
-          f"end-to-end", flush=True)
+    print(f"warm edit run ({layers} layers, seq_cfg={seq_cfg}): {dt2:.1f}s for "
+          f"{nf} frames at {steps} steps, {parts} partition(s) -> "
+          f"{nf/dt2:.2f} frames/s end-to-end", flush=True)
     assert np.isfinite(video).all()
 
 
