@@ -476,6 +476,23 @@ def main():
         q_, k2, v2, tq_, tk_, heads=heads))
     timed("vip cross1 17776->480", cross1, q, kv_, vv_, tq_tv, tk_vip,
           flops=4 * b * sq * s_vip * hd)
+    # fewer, bigger grid steps: the small-kv cross is per-step-overhead bound
+    for bq_ in (2048, 4096):
+        fn = jax.jit(lambda q_, k2, v2, tq_, tk_, b1=bq_: A.fused_flash_attention(
+            q_, k2, v2, tq_, tk_, heads=heads, block_q=b1))
+        timed(f"vip cross1 block_q={bq_} (bq={2*bq_})", fn, q, kv_, vv_,
+              tq_tv, tk_vip, flops=4 * b * sq * s_vip * hd)
+    # pair2 on the cross shape
+    for bq_ in (2048, 4096):
+        try:
+            fn = jax.jit(lambda q_, k2, v2, tq_, tk_, b1=bq_: run_pair2(
+                q_, k2, v2, jnp.zeros((b, s_vip), jnp.float32), tq_, tk_,
+                heads, b1, 512))
+            timed(f"vip cross1 pair2 q{bq_}/kv512", fn, q, kv_, vv_,
+                  tq_tv, tk_vip, flops=4 * b * sq * s_vip * hd)
+        except Exception as e:
+            print(f"cross1 pair2 q{bq_}: {type(e).__name__} {str(e)[:120]}",
+                  flush=True)
 
     qv = jax.random.normal(jax.random.PRNGKey(7), (b, s_vip, hd), jnp.bfloat16)
     kcat = jnp.concatenate([k, kv_], axis=1)
@@ -485,6 +502,21 @@ def main():
         qv_, kc, vc, tq_, tk_, heads=heads))
     timed("vip cross2 480->18256 (pre-concat kv)", cross2, qv, kcat, vcat,
           tq_vip, tk_all, flops=4 * b * s_vip * (sq + s_vip) * hd)
+    for bkv_ in (2048, 4096):
+        fn = jax.jit(lambda qv_, kc, vc, tq_, tk_, b2=bkv_: A.fused_flash_attention(
+            qv_, kc, vc, tq_, tk_, heads=heads, block_kv=b2))
+        timed(f"vip cross2 block_kv={bkv_}", fn, qv, kcat, vcat,
+              tq_vip, tk_all, flops=4 * b * s_vip * (sq + s_vip) * hd)
+    for bkv_ in (2048, 4096):
+        try:
+            fn = jax.jit(lambda qv_, kc, vc, tq_, tk_, b2=bkv_: run_pair2(
+                qv_, kc, vc, jnp.zeros((b, sq + s_vip), jnp.float32), tq_, tk_,
+                heads, 512, b2))
+            timed(f"vip cross2 pair2 q512/kv{bkv_}", fn, qv, kcat, vcat,
+                  tq_vip, tk_all, flops=4 * b * s_vip * (sq + s_vip) * hd)
+        except Exception as e:
+            print(f"cross2 pair2 kv{bkv_}: {type(e).__name__} {str(e)[:120]}",
+                  flush=True)
 
     def cross_both(q_, k_, v_, qv_, kv2, vv2, t1, t2, t3, t4):
         kc = jnp.concatenate([k_, kv2], axis=1)

@@ -32,7 +32,10 @@ from tokensgen_tpu.utils.params import param_count
 
 
 def main():
-    layers = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    # 8 layers misses the compile-time HBM check by 410 MB (16.15G vs
+    # 15.75G usable: f32 params 7.0G + int8 Adam 1.4G + remat/backward
+    # workspace); 6 layers fits
+    layers = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
     b, f = 1, 13
