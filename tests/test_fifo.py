@@ -134,6 +134,27 @@ def test_fifo_cache_tracks(setup):
         np.testing.assert_allclose(vals[-1][0], np.asarray(target)[0, 0], atol=5e-3)
 
 
+def test_fifo_host_loop_matches_scan(setup):
+    """host_loop=True (per-iteration jitted dispatch) is bit-for-bit the
+    lax.scan path: same iteration body, same per-iteration keys."""
+    sched, target, perfect_model, base_model = setup
+    seed = _make_seed(sched, base_model)
+    fcfg = _fcfg(stochastic=True)
+    r = jax.random.PRNGKey(7)
+    res1 = F.fifo_generate(perfect_model, None, sched, fcfg, seed, rng=r,
+                           cache_idx=(0, 3))
+    res2 = F.fifo_generate(perfect_model, None, sched, fcfg, seed, rng=r,
+                           cache_idx=(0, 3), host_loop=True)
+    np.testing.assert_allclose(
+        np.asarray(res1.all_emitted), np.asarray(res2.all_emitted),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(res1.cache_valid), np.asarray(res2.cache_valid))
+    np.testing.assert_allclose(
+        np.asarray(res1.cache_x0), np.asarray(res2.cache_x0),
+        rtol=1e-5, atol=1e-6)
+
+
 def test_fifo_stochastic_runs(setup):
     sched, target, perfect_model, base_model = setup
     seed = _make_seed(sched, base_model)

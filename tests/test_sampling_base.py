@@ -80,3 +80,45 @@ def test_stochastic_noise_reproducible():
     r3 = B.denoise(_stub_model, sched, scfg, lat, rng=jax.random.PRNGKey(8))
     np.testing.assert_array_equal(np.asarray(r1.latents), np.asarray(r2.latents))
     assert not np.allclose(np.asarray(r1.latents), np.asarray(r3.latents))
+
+
+def test_host_loop_matches_scan():
+    """host_loop=True (per-step jitted dispatch) reproduces the lax.scan path
+    exactly, including the FIFO seed snapshots and the caller's latents buffer
+    surviving donation."""
+    sched = S.make_schedule(S.ScheduleConfig())
+    scfg = B.SamplerConfig(num_inference_steps=8, collect_fifo=True,
+                           stochastic=True)
+    rng = np.random.default_rng(3)
+    lat = jnp.asarray(rng.normal(size=(1, 5, 4, 6, 6)), jnp.float32)
+    r = jax.random.PRNGKey(11)
+    res1 = B.denoise(_stub_model, sched, scfg, lat, rng=r)
+    res2 = B.denoise(_stub_model, sched, scfg, lat, rng=r, host_loop=True)
+    np.testing.assert_allclose(np.asarray(res1.latents),
+                               np.asarray(res2.latents), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res1.fifo_latents),
+                               np.asarray(res2.fifo_latents),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(res1.fifo_old_valid),
+                                  np.asarray(res2.fifo_old_valid))
+    # the input buffer must still be readable (donation must not eat it)
+    assert np.isfinite(np.asarray(lat)).all()
+
+
+def test_host_loop_model_consts_threading():
+    """model_consts rides as a traced argument of the per-step program (the
+    anti-closure-baking path the pipeline uses for real params)."""
+    sched = S.make_schedule(S.ScheduleConfig())
+    scfg = B.SamplerConfig(num_inference_steps=4, stochastic=False)
+    rng = np.random.default_rng(4)
+    lat = jnp.asarray(rng.normal(size=(1, 3, 2, 4, 4)), jnp.float32)
+    w = jnp.asarray(0.1)
+
+    def mc_model(mc, latents_cfg, tvec):
+        return mc["w"] * latents_cfg
+
+    res1 = B.denoise(mc_model, sched, scfg, lat, model_consts={"w": w})
+    res2 = B.denoise(mc_model, sched, scfg, lat, model_consts={"w": w},
+                     host_loop=True)
+    np.testing.assert_allclose(np.asarray(res1.latents),
+                               np.asarray(res2.latents), rtol=1e-6, atol=1e-7)

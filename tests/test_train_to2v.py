@@ -96,3 +96,57 @@ def test_data_parallel_step_on_mesh():
     step_jit = jax.jit(step)
     new_params, _, metrics = step_jit(params, opt_state, sharded, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_cast_frozen_bf16_trains():
+    """bf16 frozen / f32 trainable storage (the 5b memory scheme): the train
+    step runs, loss finite, trainable leaves stay f32, frozen become bf16."""
+    import flax
+    import jax.numpy as jnp
+
+    from tokensgen_tpu.train import to2v as T
+
+    vc = VIPConfig(length=2 * 2 * 3, output_dim=24, num_temporal_queries=2,
+                   num_height_queries=2, num_width_queries=3)
+    dcfg = DiTConfig.tiny(vip=vc)
+    rcfg = ResamplerConfig.tiny(num_temporal_queries=2, num_height_queries=2,
+                                num_width_queries=3, output_dim=24)
+    f = 3
+    h, w = dcfg.sample_height, dcfg.sample_width
+    hp, wp = h // 2, w // 2
+    rng0 = np.random.default_rng(0)
+    d = dcfg.attention_head_dim
+    batch = {
+        "latents": jnp.asarray(rng0.normal(size=(2, f, 16, h, w)), jnp.float32),
+        "vip_input": jnp.asarray(rng0.normal(size=(2, 3, 4, rcfg.embedding_dim)), jnp.float32),
+        "text_embeds": jnp.asarray(
+            rng0.normal(size=(2, dcfg.max_text_seq_length, dcfg.text_embed_dim)), jnp.float32),
+        "image_rotary_emb": get_3d_rotary_pos_embed_v2(d, np.arange(f), np.arange(hp), np.arange(wp)),
+        "vip_image_rotary_emb": get_3d_rotary_pos_embed_v2(d, np.arange(f) + 1000, np.arange(hp), np.arange(wp)),
+        "vip_condition_rotary_emb": get_3d_rotary_pos_embed_v2(d, np.arange(2) + 1000, np.arange(2), np.arange(3)),
+    }
+    sched = S.make_schedule(S.ScheduleConfig())
+    tcfg = T.To2VTrainConfig()
+    params = T.init_params(dcfg, rcfg, jax.random.PRNGKey(0), batch)
+    params = T.cast_frozen_bf16(params)
+    labels = flax.traverse_util.flatten_dict(T.trainable_labels(params))
+    for k, v in flax.traverse_util.flatten_dict(params).items():
+        if labels[k] == "freeze":
+            assert v.dtype == jnp.bfloat16, k
+        else:
+            assert v.dtype == jnp.float32, k
+    optimizer = T.make_optimizer(params, tcfg)
+    opt_state = optimizer.init(params)
+    step = jax.jit(T.make_train_step(dcfg, rcfg, sched, tcfg, optimizer))
+    new_params, _, metrics = step(params, opt_state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # frozen leaves unchanged, some trainable leaf moved
+    flat0 = flax.traverse_util.flatten_dict(params)
+    flat1 = flax.traverse_util.flatten_dict(new_params)
+    moved = False
+    for k in flat0:
+        if labels[k] == "freeze":
+            np.testing.assert_array_equal(np.asarray(flat0[k]), np.asarray(flat1[k]))
+        elif not np.allclose(np.asarray(flat0[k]), np.asarray(flat1[k])):
+            moved = True
+    assert moved

@@ -342,22 +342,32 @@ class To2VPipeline:
             if not cfg.sequential_cfg or nb == 1:
                 return one_forward(params, lat_cfg, text_embeds_cfg, t2d,
                                    vip_kwargs)
-            # sequential CFG: one B=1 forward per guidance branch. Halves the
-            # activation HBM of the batched forward (the difference between
-            # the full-depth single-chip FIFO fitting a 16 GB part or not)
-            # for ~4.5% more step time — the per-layer kernels are already
-            # saturated at B=1 (PERF.md round 3).
-            outs = []
-            for s in range(nb):
-                vk = None
-                if vip_kwargs is not None:
-                    vk = dict(vip_kwargs)
-                    vk["vip_hidden_states"] = \
-                        vip_kwargs["vip_hidden_states"][s:s + 1]
-                outs.append(one_forward(
-                    params, lat_cfg[s:s + 1], text_embeds_cfg[s:s + 1],
-                    t2d[s:s + 1], vk))
-            return jnp.concatenate(outs, axis=0)
+            # sequential CFG: one B=1 forward per guidance branch via lax.map.
+            # map (not an unrolled Python loop!) forces true serialization so
+            # XLA reuses one forward's activation buffers across branches —
+            # an unrolled loop's independent forwards get interleaved by the
+            # latency-hiding scheduler and CO-RESIDENT buffers defeat the
+            # point. Halves the activation HBM of the batched forward (the
+            # difference between the full-depth single-chip run fitting a
+            # 16 GB part or not) for ~4.5% more step time.
+            if vip_kwargs is None:
+                def one(args):
+                    lat, text, t_ = args
+                    return one_forward(params, lat[None], text[None],
+                                       t_[None], None)[0]
+
+                return jax.lax.map(one, (lat_cfg, text_embeds_cfg, t2d))
+
+            def one_vip(args):
+                lat, text, t_, vh = args
+                vk = dict(vip_kwargs)
+                vk["vip_hidden_states"] = vh[None]
+                return one_forward(params, lat[None], text[None], t_[None],
+                                   vk)[0]
+
+            return jax.lax.map(
+                one_vip, (lat_cfg, text_embeds_cfg, t2d,
+                          vip_kwargs["vip_hidden_states"]))
 
         return model_fn
 
@@ -376,6 +386,7 @@ class To2VPipeline:
         num_chunks: int,
         rng: jax.Array,
         latents: Optional[jnp.ndarray] = None,
+        host_loop: bool = False,
     ):
         """Denoise the base clip (chunk 0) and return (result, seed ingredients)."""
         cfg = self.cfg
@@ -406,9 +417,9 @@ class To2VPipeline:
                 "vip_condition_rotary_emb": vip_cond_rope,
             }
 
-        def base_model(lat_cfg, tvec):
+        def base_model(mc, lat_cfg, tvec):
             t2d = jnp.broadcast_to(tvec[:, None], (lat_cfg.shape[0], lat_cfg.shape[1]))
-            return model_fn({"params": self.dit_params["params"]}, lat_cfg, t2d, vip_kwargs)
+            return model_fn(mc, lat_cfg, t2d, vip_kwargs)
 
         scfg = base_sampler.SamplerConfig(
             num_inference_steps=cfg.num_inference_steps,
@@ -419,7 +430,10 @@ class To2VPipeline:
             collect_fifo=True,
             stochastic=cfg.stochastic,
         )
-        res = base_sampler.denoise(base_model, self.sched, scfg, latents, rng=rng)
+        res = base_sampler.denoise(
+            base_model, self.sched, scfg, latents, rng=rng,
+            host_loop=host_loop,
+            model_consts={"params": self.dit_params["params"]})
         return res, image_rope, model_fn
 
     # -------------------------------------------------------------- fifo pass
@@ -489,13 +503,19 @@ class To2VPipeline:
         cache_idx: Tuple[int, ...] = (),
         decode: bool = True,
         offload_vae: bool = False,
+        host_loop: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         """Full edit/generation run: base pass -> FIFO -> (optional) decode.
 
         ``offload_vae``: park the VAE params in host memory during the denoise
         phase (restored before decoding) — the production To2V stack's params
         (DiT 14.3 GB + VAE + resampler ~ 15.5 GB bf16) only share one 16 GB
-        chip with this enabled."""
+        chip with this enabled.
+
+        ``host_loop``: drive both denoise phases one jitted step at a time
+        from the host (identical numerics to the lax.scan programs) — bounds
+        single-execution wall time on capped runtimes and gives per-step
+        progress."""
         cfg = self.cfg
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         rng, r_vip, r_base, r_fifo = jax.random.split(rng, 4)
@@ -532,7 +552,8 @@ class To2VPipeline:
             self.dit_params = jax.device_put(self.dit_params, dev)
 
         res, image_rope, model_fn = self.base_denoise(
-            prompt_embeds, negative_embeds, image_embeddings, num_chunks, r_base
+            prompt_embeds, negative_embeds, image_embeddings, num_chunks, r_base,
+            host_loop=host_loop,
         )
         seed = self.fifo_seed(res, image_rope, image_embeddings, num_chunks)
 
@@ -558,7 +579,7 @@ class To2VPipeline:
         )
         fifo_res = fifo_engine.fifo_generate(
             model_fn, {"params": self.dit_params["params"]}, self.sched, fcfg, seed,
-            rng=r_fifo, cache_idx=cache_idx, mesh=mesh,
+            rng=r_fifo, cache_idx=cache_idx, mesh=mesh, host_loop=host_loop,
         )
 
         out = {

@@ -16,6 +16,7 @@ Replaces the Python step loop of the reference pipelines
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -56,6 +57,8 @@ def denoise(
     scfg: SamplerConfig,
     latents: jnp.ndarray,  # [B, F, C, H, W]
     rng: Optional[jax.Array] = None,
+    host_loop: bool = False,
+    model_consts=None,
 ) -> DenoiseResult:
     """Run the full denoise loop.
 
@@ -65,6 +68,17 @@ def denoise(
     [negative, positive]). ``timestep_vec`` is [nB] (one shared t per step).
     Returns float32 latents; model output is cast to float32 before guidance, as
     the reference does (`pipeline_cogvideox_mp_fifo.py:1247`).
+
+    ``host_loop=True`` dispatches one jitted program per denoise step instead
+    of a single lax.scan — same numerics; bounds per-execution wall time on
+    runtimes that cap it (the tunneled single-chip path).
+
+    ``model_consts``: optional pytree of model state (params, conditioning);
+    when given, the model is called as ``model_fn(model_consts, lat, tvec)``
+    and the tree rides as a traced ARGUMENT of the per-step program. Required
+    with ``host_loop`` for any real model — a closed-over param tree would be
+    baked into the lowered HLO as constants (multi-GB uploads on remote
+    runtimes).
     """
     ts = np.asarray(S.inference_timesteps(sched.config, scfg.num_inference_steps))
     n = len(ts)
@@ -83,7 +97,7 @@ def denoise(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    def step(carry, inp):
+    def step(mc, carry, inp):
         latents, old_x0, old_valid = carry
         t, prev_t, back_t, idx, key = inp
 
@@ -97,7 +111,10 @@ def denoise(
             latents, scfg.do_classifier_free_guidance, scfg.use_separate_guidance
         )
         tvec = jnp.full((lat_in.shape[0],), t, dtype=jnp.int32)
-        noise_pred = model_fn(lat_in, tvec).astype(jnp.float32)
+        if model_consts is not None:
+            noise_pred = model_fn(mc, lat_in, tvec).astype(jnp.float32)
+        else:
+            noise_pred = model_fn(lat_in, tvec).astype(jnp.float32)
         noise_pred = debug.stats("noise_pred", noise_pred)
 
         if scfg.do_classifier_free_guidance:
@@ -138,7 +155,27 @@ def denoise(
     )
     init = (latents.astype(jnp.float32), jnp.zeros_like(latents, jnp.float32),
             jnp.asarray(False))
-    (final, _, _), (snaps, snap_x0s, snap_valids) = jax.lax.scan(step, init, inputs)
+    if host_loop:
+        step_fn = jax.jit(step, donate_argnums=(1,))
+        # donation would invalidate the caller's latents buffer when astype
+        # was a no-op alias — copy the first carry
+        carry = (jnp.array(init[0], copy=True), init[1], init[2])
+        sn_l, sn_x, sn_v = [], [], []
+        for i in range(n):
+            carry, (sl, sx, sv) = step_fn(
+                model_consts, carry,
+                (jnp.asarray(ts[i]), jnp.asarray(prev_ts[i]),
+                 jnp.asarray(back_ts[i]), jnp.asarray(i, jnp.int32), keys[i]))
+            sn_l.append(sl)
+            sn_x.append(sx)
+            sn_v.append(sv)
+        final = carry[0]
+        snaps = jnp.stack(sn_l)
+        snap_x0s = jnp.stack(sn_x)
+        snap_valids = jnp.stack(sn_v)
+    else:
+        (final, _, _), (snaps, snap_x0s, snap_valids) = jax.lax.scan(
+            functools.partial(step, model_consts), init, inputs)
 
     if not scfg.collect_fifo:
         return DenoiseResult(final, None, None, None)

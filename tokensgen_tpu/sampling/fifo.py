@@ -29,6 +29,7 @@ frames discarded (`:230,367`).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -148,6 +149,7 @@ def fifo_generate(
     rng: Optional[jax.Array] = None,
     cache_idx: Tuple[int, ...] = (),
     mesh: Optional[Mesh] = None,
+    host_loop: bool = False,
 ) -> FIFOResult:
     """Run the FIFO loop.
 
@@ -159,6 +161,11 @@ def fifo_generate(
     When ``mesh`` has a non-trivial ``queue`` axis, the rank windows of each
     iteration are sharded over it (one DiT forward per device per iteration,
     merged with psum); otherwise ranks run sequentially on one device.
+
+    ``host_loop=True`` dispatches one jitted program per iteration from the
+    host instead of one lax.scan over all iterations — same numerics, bounded
+    per-execution duration (needed on runtimes that cap a single execution's
+    wall time), per-iteration progress.
     """
     nf, r_nf, l_nf = fcfg.nf_per_chunk, fcfg.r_nf, fcfg.l_nf
     R, Q = fcfg.num_ranks, fcfg.queue_len
@@ -188,7 +195,12 @@ def fifo_generate(
 
     dt, dh, dw = fcfg.vip_rope_dims
 
-    def rank_windows(queue, x0_buf, x0_valid, qs, grid_offset, rank_ids, key):
+    # ``params`` is threaded explicitly through every traced function below
+    # (never closed over): a closed-over param tree would be baked into the
+    # lowered HLO as constants — a multi-GB program upload on remote runtimes
+    # for the production DiT, and a recompile per param update when training.
+    def rank_windows(params, queue, x0_buf, x0_valid, qs, grid_offset,
+                     rank_ids, key):
         """Compute masked merge contributions for the given rank ids.
         Returns (sum_lat [B,Q,...], sum_x0 [B,Q,...], any_mask [Q])."""
         b = queue.shape[0]
@@ -310,34 +322,36 @@ def fifo_generate(
         assert R % nq == 0, (R, nq)
         rank_ids_global = jnp.arange(R)
 
-        def sharded_windows(queue, x0_buf, x0_valid, qs, grid_offset, rank_ids, key):
+        def sharded_windows(params, queue, x0_buf, x0_valid, qs, grid_offset,
+                            rank_ids, key):
             sum_l, sum_x, mask = rank_windows(
-                queue, x0_buf, x0_valid, qs, grid_offset, rank_ids, key
+                params, queue, x0_buf, x0_valid, qs, grid_offset, rank_ids, key
             )
             sum_l = jax.lax.psum(sum_l, "queue")
             sum_x = jax.lax.psum(sum_x, "queue")
             mask = jax.lax.psum(mask.astype(jnp.int32), "queue") > 0
             return sum_l, sum_x, mask
 
+        param_specs = jax.tree_util.tree_map(lambda _: P(), params)
         windows_fn = shard_map(
             sharded_windows,
             mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(), P("queue"), P()),
+            in_specs=(param_specs, P(), P(), P(), P(), P(), P("queue"), P()),
             out_specs=(P(), P(), P()),
             check_vma=False,
         )
 
-        def merge_contribs(queue, x0_buf, x0_valid, qs, grid_offset, key):
-            return windows_fn(queue, x0_buf, x0_valid, qs, grid_offset,
+        def merge_contribs(params, queue, x0_buf, x0_valid, qs, grid_offset, key):
+            return windows_fn(params, queue, x0_buf, x0_valid, qs, grid_offset,
                               rank_ids_global, key)
     else:
-        def merge_contribs(queue, x0_buf, x0_valid, qs, grid_offset, key):
-            return rank_windows(queue, x0_buf, x0_valid, qs, grid_offset,
-                                jnp.arange(R), key)
+        def merge_contribs(params, queue, x0_buf, x0_valid, qs, grid_offset, key):
+            return rank_windows(params, queue, x0_buf, x0_valid, qs,
+                                grid_offset, jnp.arange(R), key)
 
     cache_idx_arr = np.asarray(cache_idx, dtype=np.int64) if cache_idx else None
 
-    def iteration(state, inp):
+    def iteration(params, state, inp):
         queue, x0_buf, x0_valid = state
         i, key = inp
         qs = (
@@ -346,7 +360,8 @@ def fifo_generate(
             else jnp.asarray(0)
         )
 
-        sum_l, sum_x, mask = merge_contribs(queue, x0_buf, x0_valid, qs, i, key)
+        sum_l, sum_x, mask = merge_contribs(params, queue, x0_buf, x0_valid,
+                                            qs, i, key)
         mb = mask[None, :, None, None, None]
         queue = jnp.where(mb, sum_l, queue)
         x0_buf = jnp.where(mb, sum_x, x0_buf)
@@ -384,9 +399,33 @@ def fifo_generate(
     queue, x0_buf, x0_valid = prepare_queue(seed, fcfg)
     n_iters = fcfg.num_iterations
     keys = jax.random.split(rng, n_iters)
-    (queue, x0_buf, x0_valid), (emitted, caches) = jax.lax.scan(
-        iteration, (queue, x0_buf, x0_valid), (jnp.arange(n_iters), keys)
-    )
+    if host_loop:
+        # One jitted program per FIFO iteration, driven from the host, instead
+        # of a single lax.scan program covering all n_iters. Numerically
+        # identical (same iteration body, same keys); trades ~ms of dispatch
+        # per iteration for (a) a bounded single-execution duration — the
+        # tunneled single-chip runtime kills executions that run for minutes,
+        # which is what broke the 42-layer full-depth e2e, and (b) per-
+        # iteration progress. State buffers are donated so HBM usage matches
+        # the scan's steady state; params ride as an argument (see above).
+        it_fn = jax.jit(iteration, donate_argnums=(1,))
+        state = (queue, x0_buf, x0_valid)
+        em_list, cx_list, cv_list = [], [], []
+        for i in range(n_iters):
+            state, (em, caches_i) = it_fn(
+                params, state, (jnp.asarray(i, jnp.int32), keys[i]))
+            em_list.append(em)
+            if caches_i is not None:
+                cx_list.append(caches_i[0])
+                cv_list.append(caches_i[1])
+        queue, x0_buf, x0_valid = state
+        emitted = jnp.stack(em_list)
+        caches = (jnp.stack(cx_list), jnp.stack(cv_list)) if cx_list else None
+    else:
+        (queue, x0_buf, x0_valid), (emitted, caches) = jax.lax.scan(
+            functools.partial(iteration, params),
+            (queue, x0_buf, x0_valid), (jnp.arange(n_iters), keys)
+        )
     all_emitted = emitted.transpose(1, 0, 2, 3, 4)  # [B, n_iters, C, H, W]
     latents = all_emitted[:, steps - nf:]
     if caches is not None:

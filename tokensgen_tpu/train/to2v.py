@@ -58,6 +58,24 @@ def trainable_labels(params: Dict) -> Dict:
     return flax.traverse_util.unflatten_dict(labels)
 
 
+def cast_frozen_bf16(params: Dict) -> Dict:
+    """bf16 storage for frozen leaves; f32 masters stay only where the
+    optimizer updates. Halves the frozen params' HBM AND removes XLA's
+    f32->bf16 convert temps of every big frozen weight (a bf16-compute model
+    over f32 params materialises a full bf16 copy per weight per step —
+    measured as the largest allocations of the 5b train step's OOM dump).
+    The reference does the same: frozen transformer in bf16 under accelerate
+    mixed precision, fp32 optimizer masters (`train_cogvideo_to2v.py:1323`)."""
+    labels = flax.traverse_util.flatten_dict(trainable_labels(params))
+    flat = flax.traverse_util.flatten_dict(params)
+    out = {
+        k: (v.astype(jnp.bfloat16)
+            if labels[k] == "freeze" and v.dtype == jnp.float32 else v)
+        for k, v in flat.items()
+    }
+    return flax.traverse_util.unflatten_dict(out)
+
+
 def make_optimizer(params: Dict, cfg: To2VTrainConfig) -> optax.GradientTransformation:
     if cfg.use_8bit_adam:
         from tokensgen_tpu.train.adam8bit import adamw_8bit

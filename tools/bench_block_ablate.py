@@ -48,7 +48,8 @@ def timed_scan(name, body, x0, n=10, flops=None, consts=None):
 
 
 def main():
-    b, f, hp, wp = 1, 13, 30, 45
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    f, hp, wp = 13, 30, 45
     s_video, s_text, s_vip = f * hp * wp, 226, 480
     heads, d, inner = 48, 64, 3072
     key = jax.random.PRNGKey(0)
@@ -151,6 +152,115 @@ def main():
         return (nh + g).astype(dt_)
 
     timed_scan("AdaLNZero (video+text, gates)", ada_body, hidden, consts=(pada,))
+
+    # glue isolation: the same block with the attention KERNELS stubbed to a
+    # cheap linear map (projections, AdaLN, concats, gates, FF all remain) —
+    # full block minus this = true attention-kernel time in context; this
+    # minus matmul floors = the layout/elementwise glue
+    import tokensgen_tpu.models.dit as dit_mod
+    real_attn = dit_mod.fused_flash_attention
+
+    def stub_attn(q_, k_, v_, tq_, tk_, **kw):
+        return q_.astype(dt_)
+
+    dit_mod.fused_flash_attention = stub_attn
+    try:
+        block2 = DiTBlock(cfg)
+        params2 = block2.init(key, carry0, None)
+
+        def block_body2(c, prm):
+            h_, t_, v_ = c
+            out = block2.apply(prm, (h_, t_, v_, temb, ropes, None, None), None)[0]
+            return (out[0], out[1], out[2])
+
+        timed_scan("DiTBlock, attention stubbed", block_body2,
+                   (hidden, text, vip), consts=(params2,))
+    finally:
+        dit_mod.fused_flash_attention = real_attn
+
+    # ---- joint-layout prototype: one [text‖video] array end-to-end ----
+    # Flop-identical to DiTBlock func_type "1" (same projections, same three
+    # attention kernels, same FF work incl. the vip pass), but: no per-layer
+    # concat/split of text vs video, AdaLN modulation applied jointly via
+    # broadcast-concat tables, gates joint. Measures the layout glue's cost.
+    from tokensgen_tpu.kernels.attention import (
+        fused_flash_attention, make_prologue, slice_tabs)
+
+    sj = s_text + s_video
+    sm = d ** -0.5
+    g_ln = jnp.abs(jax.random.normal(jax.random.PRNGKey(31), (d,))) + 0.5
+    b_ln = 0.1 * jax.random.normal(jax.random.PRNGKey(32), (d,))
+    base_segs = [(None, s_text), (rope, s_video)]
+    tq_b = make_prologue(d, base_segs, g_ln, b_ln, fold=sm)
+    tk_b = make_prologue(d, base_segs, g_ln, b_ln)
+    vsegs = [(None, s_text), (vip_rope, s_video), (cond_rope, s_vip)]
+    vtq = make_prologue(d, vsegs, g_ln, b_ln, fold=sm)
+    vtk = make_prologue(d, vsegs, g_ln, b_ln)
+    tq_tv, tk_vip = slice_tabs(vtq, 0, sj), slice_tabs(vtk, sj, sj + s_vip)
+    tq_vip = slice_tabs(vtq, sj, sj + s_vip)
+
+    wqkv = jax.random.normal(key, (inner, 3 * inner), dt_) * 0.02
+    wvqkv = jax.random.normal(key, (inner, 3 * inner), dt_) * 0.02
+    wout = jax.random.normal(key, (inner, inner), dt_) * 0.02
+    wmod = jax.random.normal(key, (512, 6 * inner), dt_) * 0.02
+    wvmod = jax.random.normal(key, (512, 3 * inner), dt_) * 0.02
+    wff1 = jax.random.normal(key, (inner, 4 * inner), dt_) * 0.02
+    wff2 = jax.random.normal(key, (4 * inner, inner), dt_) * 0.02
+    ln_eps = 1e-6
+
+    def _ln(x):
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        dlt = x32 - mu
+        var = jnp.mean(dlt * dlt, axis=-1, keepdims=True)
+        return (dlt * jax.lax.rsqrt(var + ln_eps)).astype(x.dtype)
+
+    hw_ = hp * wp
+
+    def joint_mod(m_text, m_vid):
+        # [B,1,D] text row + [B,F,D] per-frame rows -> [B,Sj,D] (lazy ops;
+        # XLA fuses broadcast/repeat/concat into the elementwise consumer)
+        return jnp.concatenate([
+            jnp.broadcast_to(m_text, (b, s_text, inner)),
+            jnp.repeat(m_vid, hw_, axis=1)], axis=1)
+
+    def joint_adaln(tv_, temb_, w):
+        mods = jax.nn.silu(temb_) @ w  # [B,F,6D]
+        sh, sc, g6, esh, esc, eg = jnp.split(mods, 6, axis=-1)
+        n = _ln(tv_)
+        ntv = n * (1 + joint_mod(esc[:, :1], sc)) + joint_mod(esh[:, :1], sh)
+        return ntv.astype(dt_), joint_mod(eg[:, :1], g6)
+
+    def block_v2(c, wqkv_, wvqkv_, wout_, wmod_, wvmod_, wff1_, wff2_):
+        tv_, vip_ = c
+        ntv, gate1 = joint_adaln(tv_, temb, wmod_)
+        vmods = jax.nn.silu(temb) @ wvmod_
+        vsh, vsc, vg = jnp.split(vmods, 3, axis=-1)
+        nvip = (_ln(vip_) * (1 + vsc[:, :1]) + vsh[:, :1]).astype(dt_)
+
+        qkv = ntv @ wqkv_
+        q, k_, v_ = jnp.split(qkv, 3, axis=-1)
+        out = fused_flash_attention(q, k_, v_, tq_b, tk_b, heads=heads)
+        vqkv = jnp.concatenate([ntv, nvip], axis=1) @ wvqkv_
+        vq, vk, vv = jnp.split(vqkv, 3, axis=-1)
+        c1 = fused_flash_attention(
+            vq[:, :sj], vk[:, sj:], vv[:, sj:], tq_tv, tk_vip, heads=heads)
+        c2 = fused_flash_attention(vq[:, sj:], vk, vv, tq_vip, vtk, heads=heads)
+        merged = jnp.concatenate([out + 0.6 * c1, c2], axis=1) @ wout_
+        tv2 = tv_ + gate1 * merged[:, :sj]
+        vip2 = vip_ + vg[:, :1] * merged[:, sj:]
+
+        ntv2, gate2 = joint_adaln(tv2, temb, wmod_)
+        ff = jax.nn.gelu(ntv2 @ wff1_, approximate=True) @ wff2_
+        tv3 = tv2 + gate2 * ff
+        nvip2 = (_ln(vip2) * (1 + vsc[:, :1]) + vsh[:, :1]).astype(dt_)
+        vff = jax.nn.gelu(nvip2 @ wff1_, approximate=True) @ wff2_
+        vip3 = vip2 + vg[:, :1] * vff
+        return (tv3.astype(dt_), vip3.astype(dt_))
+
+    tv0 = jnp.concatenate([text, hidden], axis=1)
+    timed_scan("joint-layout block_v2 prototype", block_v2, (tv0, vip),
+               consts=(wqkv, wvqkv, wout, wmod, wvmod, wff1, wff2))
 
 
 if __name__ == "__main__":

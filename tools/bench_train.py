@@ -41,8 +41,11 @@ def main():
     b, f = 1, 13
     hp, wp = 30, 45
     vc = VIPConfig()  # 480 vip tokens, 5b dims
+    # ff_chunks=1: under per-block remat the chunk scan STACKS the gelu
+    # intermediates for the backward (3x ~420 MB buffers in the OOM dump);
+    # the plain FF's single temp is cheaper in training
     dcfg = DiTConfig.cogvideox_5b(num_layers=layers, vip=vc, remat=True,
-                                  ff_chunks=4)
+                                  ff_chunks=1)
     rcfg = ResamplerConfig()
     d = dcfg.attention_head_dim
     rng = np.random.default_rng(0)
@@ -86,6 +89,7 @@ def main():
         d, np.arange(rcfg.num_temporal_queries) + 1000, np.arange(8),
         np.arange(12))
     params = to2v.init_params(dcfg, rcfg, jax.random.PRNGKey(0), init_batch)
+    params = to2v.cast_frozen_bf16(params)
     n_dit = param_count(params["dit"])
     n_rs = param_count(params["resampler"])
     labels = to2v.trainable_labels(params)

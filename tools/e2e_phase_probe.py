@@ -6,7 +6,7 @@ unambiguous (async dispatch otherwise surfaces every fault at the next
 block_until_ready). Same construction as tools/e2e_to2v_tpu.py.
 
 Usage: python tools/e2e_phase_probe.py [steps=16] [chunks=2] [layers=42]
-       [ff_chunks=8] [seq_cfg=1]
+       [ff_chunks=8] [seq_cfg=1] [host_loop=1]
 """
 
 import os
@@ -42,6 +42,7 @@ def main():
     layers = int(sys.argv[3]) if len(sys.argv) > 3 else 42
     ff_chunks = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     seq_cfg = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    host_loop = bool(int(sys.argv[6])) if len(sys.argv) > 6 else True
 
     cfg = To2VConfig(
         height=480, width=720, num_frames_per_chunk=49,
@@ -106,7 +107,7 @@ def main():
     pipe.resampler_params = jax.device_put(pipe.resampler_params, cpu)
     pipe.dit_params = jax.device_put(pipe.dit_params, dev)
     res, image_rope, model_fn = pipe.base_denoise(
-        text, neg, emb, chunks, jax.random.PRNGKey(8))
+        text, neg, emb, chunks, jax.random.PRNGKey(8), host_loop=host_loop)
     jax.block_until_ready(res.latents)
     jax.block_until_ready(res.fifo_latents)
     mark(f"PHASE B (base denoise, {layers}L, seq_cfg={seq_cfg}) OK: "
@@ -125,7 +126,7 @@ def main():
     )
     fres = fifo_engine.fifo_generate(
         model_fn, {"params": pipe.dit_params["params"]}, sched, fcfg, seed,
-        rng=jax.random.PRNGKey(9))
+        rng=jax.random.PRNGKey(9), host_loop=host_loop)
     jax.block_until_ready(fres.latents)
     mark(f"PHASE F (FIFO {fcfg.num_iterations} iters) OK: {fres.latents.shape}",
          t0)

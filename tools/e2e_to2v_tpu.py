@@ -46,6 +46,14 @@ def main():
     # full depth only fits the 16 GB part with sequential-CFG forwards
     seq_cfg = (int(sys.argv[6]) if len(sys.argv) > 6 else
                (1 if layers > 36 else 0))
+    # per-step host dispatch: bounds single-program wall time (the tunneled
+    # runtime killed the 42-layer multi-minute scan programs) + progress
+    host_loop = (int(sys.argv[7]) if len(sys.argv) > 7 else
+                 (1 if layers > 36 else 0))
+    # phase offload is only needed when the params don't all fit HBM; at
+    # reduced depth it just pays ~100 s/GB of tunnel host-transfer each way
+    offload = (int(sys.argv[8]) if len(sys.argv) > 8 else
+               (1 if layers > 24 else 0))
 
     cfg = To2VConfig(
         height=480, width=720, num_frames_per_chunk=49,
@@ -107,7 +115,8 @@ def main():
 
     t1 = time.time()
     out = pipe.generate(text, neg, frames=frames, num_chunks=chunks,
-                        rng=jax.random.PRNGKey(2), offload_vae=True)
+                        rng=jax.random.PRNGKey(2), offload_vae=bool(offload),
+                        host_loop=bool(host_loop))
     video = np.asarray(out["video"].astype(jnp.float32))
     dt = time.time() - t1
     print(f"[{time.time()-t0:7.1f}s] EDIT E2E OK (incl. compile): "
@@ -117,7 +126,8 @@ def main():
     # warm second run = the production-rate number
     t2 = time.time()
     out = pipe.generate(text, neg, frames=frames, num_chunks=chunks,
-                        rng=jax.random.PRNGKey(3), offload_vae=True)
+                        rng=jax.random.PRNGKey(3), offload_vae=bool(offload),
+                        host_loop=bool(host_loop))
     float(jnp.sum(out["video"].astype(jnp.float32)))
     dt2 = time.time() - t2
     nf = chunks * 49
