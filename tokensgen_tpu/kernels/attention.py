@@ -626,12 +626,12 @@ def _flash_packed_kernel(
             m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
-        qn_scr[:] = prologue(q_ref[0, 0], cq_ref[0], sq_ref[0], aq_ref[0],
+        qn_scr[:] = prologue(q_ref[0], cq_ref[0], sq_ref[0], aq_ref[0],
                              rq_ref[:], norm_q)
 
     @pl.when(i == 0)
     def _prep_kv():
-        kn = prologue(k_ref[0, 0], ck_ref[0], sk_ref[0], ak_ref[0],
+        kn = prologue(k_ref[0], ck_ref[0], sk_ref[0], ak_ref[0],
                       rk_ref[:], norm_k)  # [Bk, 128]
         knt = kn.T  # [128, Bk]
         rows = jax.lax.broadcasted_iota(jnp.int32, knt.shape, 0)
@@ -639,7 +639,7 @@ def _flash_packed_kernel(
             rows < dh, knt, 0).astype(knt.dtype)
         kt_scr[:, pl.ds(2 * j * block_kv + block_kv, block_kv)] = jnp.where(
             rows >= dh, knt, 0).astype(knt.dtype)
-        v2 = v_ref[0, 0]
+        v2 = v_ref[0]
         lanes = jax.lax.broadcasted_iota(jnp.int32, v2.shape, 1)
         v2_scr[pl.ds(2 * j * block_kv, block_kv), :] = jnp.where(
             lanes < dh, v2, 0)
@@ -700,7 +700,7 @@ def _flash_packed_kernel(
             # score row under a near-clip bound C), l sums to 0 — floor the
             # denominator so the row degrades to 0 output instead of NaN
             l2 = jnp.maximum(l2, jnp.finfo(jnp.float32).tiny)
-        o_ref[0, 0] = (acc_scr[:] / l2).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[:] / l2).astype(o_ref.dtype)
         if with_lse:
             # natural-domain logsumexp per row: lane 0 = head A, lane 1 = B
             # (the backward kernel re-lays these out in XLA). In no_max mode
@@ -747,9 +747,14 @@ def _flash_fused_packed_tpu(
     skv_p = _round_up(skv, block_kv)
     has_bias = has_bias or skv_p != skv
 
+    # operands stay in the NATURAL [B, S, H*D] layout — head pair p is the
+    # contiguous column slice [p*2d, (p+1)*2d), so a (1, blk, 2d) BlockSpec
+    # addresses it directly (strided rows, contiguous 2d*2B bursts). The old
+    # [B, HP, S_p, 2D] pre-pack cost 5.8 ms/layer of XLA transposes at the
+    # 18k shape (q,k,v pack + out unpack; measured tools/bench_attn_loop.py)
+    # and forced cross-attention callers to re-pack 18k operands per call.
     def pack(x, s, s_p):
-        x = x.reshape(b, s, hp, 2 * d).transpose(0, 2, 1, 3)
-        return jnp.pad(x, ((0, 0), (0, 0), (0, s_p - s), (0, 0)))
+        return jnp.pad(x, ((0, 0), (0, s_p - s), (0, 0)))
 
     qp, kp, vp = pack(q, sq, sq_p), pack(k, skv, skv_p), pack(v, skv, skv_p)
     key_bias = jnp.pad(key_bias, ((0, 0), (0, skv_p - skv)),
@@ -788,16 +793,24 @@ def _flash_fused_packed_tpu(
         [jnp.zeros((d, d), jnp.float32), jnp.full((d, d), 1.0 / d, jnp.float32)],
     ])
 
+    def pin_after_first(i_, j_):
+        # the kernel consumes k-side operands only during the i==0 sweep
+        # (kn/vn persist in scratch for all later q chains of the pair);
+        # pinning the fetch index to block 0 once i>0 makes consecutive
+        # steps' indices equal, so Pallas elides the DMA — ~2 MB/step of
+        # dead k/v/table traffic at the 18k joint shape
+        return jnp.where(i_ > 0, 0, j_)
+
     def tab_spec(blk, batched, kv: bool):
         def imap(b_, h_, i_, j_):
-            pos = j_ if kv else i_
+            pos = pin_after_first(i_, j_) if kv else i_
             return (b_ if batched else 0, pos, 0)
         return pl.BlockSpec((1, blk, d2), imap)
 
     grid = (b, hp, sq_p // block_q, skv_p // block_kv)
     out_specs = pl.BlockSpec(
-        (1, 1, block_q, d2), lambda b_, h_, i, j: (b_, h_, i, 0))
-    out_shapes = jax.ShapeDtypeStruct((b, hp, sq_p, d2), q.dtype)
+        (1, block_q, d2), lambda b_, h_, i, j: (b_, i, h_))
+    out_shapes = jax.ShapeDtypeStruct((b, sq_p, hd), q.dtype)
     if with_lse:
         out_specs = (out_specs, pl.BlockSpec(
             (1, 1, block_q, d2), lambda b_, h_, i, j: (b_, h_, i, 0)))
@@ -810,9 +823,11 @@ def _flash_fused_packed_tpu(
             no_max=no_max),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, d2), lambda b_, h_, i, j: (b_, h_, i, 0)),
-            pl.BlockSpec((1, 1, block_kv, d2), lambda b_, h_, i, j: (b_, h_, j, 0)),
-            pl.BlockSpec((1, 1, block_kv, d2), lambda b_, h_, i, j: (b_, h_, j, 0)),
+            pl.BlockSpec((1, block_q, d2), lambda b_, h_, i, j: (b_, i, h_)),
+            pl.BlockSpec((1, block_kv, d2),
+                         lambda b_, h_, i, j: (b_, pin_after_first(i, j), h_)),
+            pl.BlockSpec((1, block_kv, d2),
+                         lambda b_, h_, i, j: (b_, pin_after_first(i, j), h_)),
             pl.BlockSpec((1, 1, block_kv), lambda b_, h_, i, j: (b_, 0, j)),
             tab_spec(block_q, bq_batched, False),
             tab_spec(block_q, bq_batched, False),
@@ -841,7 +856,7 @@ def _flash_fused_packed_tpu(
         interpret=interpret,
     )(qp, kp, vp, key_bias, cq, sq_t, aq, rq, ck, sk, ak, rk, mu)
     out, lse = res if with_lse else (res, None)
-    out = out[:, :, :sq, :].transpose(0, 2, 1, 3).reshape(b, sq, hd)
+    out = out[:, :sq, :]
     if with_lse:
         # [B, HP, Sq_p, 128] (lanes 0/1 = heads A/B) -> row layout
         # [B, HP, 2, Sq_p] for the backward kernel's lane-wise broadcasts

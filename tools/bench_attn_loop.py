@@ -123,3 +123,55 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def pack_cost():
+    """Isolate the XLA-side pack/unpack cost around the packed kernel: the
+    wrapper's [B,S,H*D] -> [B,HP,S_p,2D] transposes + pad, and the output
+    unpack, at the production shapes."""
+    b = 1
+    f, hp_, wp_ = 13, 30, 45
+    s_text, s_vip = 226, 480
+    sq = s_text + f * hp_ * wp_
+    heads, d = 48, 64
+    hd = heads * d
+    hp = heads // 2
+    sq_p = 18432
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (b, sq, hd), jnp.bfloat16)
+
+    def pack(x, s, s_p):
+        x = x.reshape(b, s, hp, 2 * d).transpose(0, 2, 1, 3)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, s_p - s), (0, 0)))
+
+    def roundtrip(x, a):
+        xp = pack(x, sq, sq_p)
+        return xp[:, :, :sq, :].transpose(0, 2, 1, 3).reshape(b, sq, hd)
+
+    loop_timed("pack+unpack one 18k operand", roundtrip, q, ())
+
+    def roundtrip3(x, a):
+        xp = pack(x, sq, sq_p)
+        kp = pack(x + 1, sq, sq_p)
+        vp = pack(x + 2, sq, sq_p)
+        y = (xp + kp + vp)[:, :, :sq, :]
+        return y.transpose(0, 2, 1, 3).reshape(b, sq, hd)
+
+    loop_timed("pack q,k,v + unpack out (base wrapper)", roundtrip3, q, ())
+
+    qv = jax.random.normal(jax.random.PRNGKey(7), (b, s_vip, hd), jnp.bfloat16)
+
+    def roundtrip_c2(x, a):
+        kp = pack(x, sq, sq_p)  # 18k k
+        vp = pack(x + 1, sq, sq_p)  # 18k v
+        qp = jnp.pad(qv.reshape(b, s_vip, hp, 2 * d).transpose(0, 2, 1, 3),
+                     ((0, 0), (0, 0), (0, 512 - s_vip), (0, 0)))
+        y = qp + kp[:, :, :512] + vp[:, :, :512]
+        return x + 0.0 * y[:, :, :1, :1].sum()
+
+    loop_timed("cross2 wrapper packs (18k k+v, 480 q)", roundtrip_c2, q, ())
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "pack":
+    pack_cost()
+    sys.exit(0)
