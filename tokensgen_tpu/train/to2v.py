@@ -76,6 +76,17 @@ def cast_frozen_bf16(params: Dict) -> Dict:
     return flax.traverse_util.unflatten_dict(out)
 
 
+def partition_params(params: Dict):
+    """Split the param tree into (trainable, frozen) flat dicts keyed by
+    flattened path, per `trainable_labels`. Structural only — safe on traced
+    values."""
+    labels = flax.traverse_util.flatten_dict(trainable_labels(params))
+    flat = flax.traverse_util.flatten_dict(params)
+    train = {k: v for k, v in flat.items() if labels[k] == "train"}
+    frozen = {k: v for k, v in flat.items() if labels[k] == "freeze"}
+    return train, frozen
+
+
 def make_optimizer(params: Dict, cfg: To2VTrainConfig) -> optax.GradientTransformation:
     if cfg.use_8bit_adam:
         from tokensgen_tpu.train.adam8bit import adamw_8bit
@@ -174,10 +185,28 @@ def make_train_step(
         return loss
 
     def train_step(params, opt_state, batch, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        # Differentiate ONLY the trainable subtree (vip_* + resampler, ~1% of
+        # the 7B tree). Frozen weights enter the trace as constants, so JAX
+        # never emits their x^T@dy weight-grad matmuls or grad buffers —
+        # without this, the step computes+stores ~14 GB of dead dW for the
+        # frozen base (the round-2 single-chip train OOM) and burns ~2x the
+        # necessary backward matmul FLOPs. Mirrors the reference, where only
+        # requires_grad params get .grad (`train_cogvideo_to2v.py:1455-1481`).
+        train_p, frozen_p = partition_params(params)
+
+        def loss_on_trainable(tp):
+            full = flax.traverse_util.unflatten_dict({**frozen_p, **tp})
+            return loss_fn(full, batch, rng)
+
+        loss, grads_t = jax.value_and_grad(loss_on_trainable)(train_p)
+        gnorm = optax.global_norm(grads_t)
+        # multi_transform wants the full tree shape; frozen slots get constant
+        # zeros, which the `set_to_zero` branch ignores and XLA's algebraic
+        # simplifier elides from `apply_updates` (p + 0 -> p, donated alias)
+        zeros = {k: jnp.zeros(v.shape, v.dtype) for k, v in frozen_p.items()}
+        grads = flax.traverse_util.unflatten_dict({**zeros, **grads_t})
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        gnorm = optax.global_norm(grads)
         return params, opt_state, {"loss": loss, "grad_norm": gnorm}
 
     return train_step
