@@ -200,6 +200,59 @@ def test_packed_headpair_kernel_interpret_mode():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_cross_small_side_kernels_interpret_mode():
+    """The pair-innermost cross-attention kernels (smallkv: tv->vip; smallq:
+    vip->all) in interpreter mode against the XLA prologue+attention
+    reference, including padded-key masking via the folded bias."""
+    from tokensgen_tpu.kernels import attention as A
+
+    rng = np.random.default_rng(12)
+    b, h, d = 1, 4, 64
+    g = jnp.asarray(np.abs(rng.normal(size=(d,))).astype(np.float32))
+    bq_ = jnp.asarray((0.1 * rng.normal(size=(d,))).astype(np.float32))
+
+    def tabs(s, fold=None):
+        ang = rng.normal(size=(s, d)).astype(np.float32)
+        rope = (jnp.asarray(np.cos(ang)), jnp.asarray(np.sin(ang)))
+        kw = {"fold": fold} if fold else {}
+        return A.make_prologue(d, [(rope, s)], g, bq_, **kw)
+
+    # smallkv: long q, tiny (non-128-multiple -> padded+masked) kv
+    sq, skv = 640, 96
+    qm = jnp.asarray(rng.normal(size=(b, sq, h * d)).astype(np.float32))
+    km = jnp.asarray(rng.normal(size=(b, skv, h * d)).astype(np.float32))
+    vm = jnp.asarray(rng.normal(size=(b, skv, h * d)).astype(np.float32))
+    bias = jnp.zeros((b, skv), jnp.float32)
+    tq, tk = tabs(sq, fold=d**-0.5), tabs(skv)
+    out = A._flash_cross_smallkv_tpu(qm, km, vm, bias, tq, tk, h, 256,
+                                     1e-6, True, True, interpret=True)
+    ref = A._merge3(A._xla_attention_fused(
+        A._split3(qm, h), A._split3(km, h), A._split3(vm, h), bias, tq, tk,
+        1e-6, True, True))
+    # these fake tables (random angles, no real rotation structure) give a
+    # loose folded score bound, so the max-free exp2 runs deep below 1.0 and
+    # f32 roundoff grows to ~5e-4 (real rope tables bound much tighter)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=6e-4, atol=6e-4)
+
+    # smallq: tiny q, long kv swept in blocks
+    sq2, skv2 = 96, 640
+    qm2 = jnp.asarray(rng.normal(size=(b, sq2, h * d)).astype(np.float32))
+    km2 = jnp.asarray(rng.normal(size=(b, skv2, h * d)).astype(np.float32))
+    vm2 = jnp.asarray(rng.normal(size=(b, skv2, h * d)).astype(np.float32))
+    bias2 = np.zeros((b, skv2), np.float32)
+    bias2[0, skv2 - 9:] = -1e9  # real key mask through the bias path
+    bias2 = jnp.asarray(bias2)
+    tq2, tk2 = tabs(sq2, fold=d**-0.5), tabs(skv2)
+    out2 = A._flash_cross_smallq_tpu(qm2, km2, vm2, bias2, tq2, tk2, h, 256,
+                                     1e-6, True, True, interpret=True)
+    ref2 = A._merge3(A._xla_attention_fused(
+        A._split3(qm2, h), A._split3(km2, h), A._split3(vm2, h), bias2,
+        tq2, tk2, 1e-6, True, True))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_packed_bwd_kernel_interpret_mode():
     """The packed Pallas backward (VMEM-resident logits) against jax.vjp of
     the XLA attention on prologued inputs, including the key-bias grad."""

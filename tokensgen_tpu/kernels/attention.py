@@ -868,6 +868,296 @@ def _flash_fused_packed_tpu(
 
 
 # ---------------------------------------------------------------------------
+# Small-side cross-attention kernels (VIP branches, func_types "1"-"4")
+#
+# The VIP cross shapes have one tiny side (tv->vip: kv=480; vip->all: q=480).
+# The general packed kernel's grid (b, pair, i, j) re-fetches the f32 prologue
+# tables for every pair (the table index depends on i/j, which change between
+# pair sweeps) and runs its scratch machinery for sweeps of length 1. These
+# variants make the PAIR axis innermost — consecutive grid steps keep the same
+# table index, so Pallas elides the table DMA — and drop the machinery the
+# degenerate sweep doesn't need. Inference-only: `_flash_packed_diff`'s
+# custom_vjp fwd keeps the lse-producing packed kernel, so gradients are
+# unchanged. Measured (tools/bench_cross_r3.py, v5e, production shapes):
+# cross1 17776->480: 4.32 -> 3.73 ms; cross2 480->18256: 4.23 -> 3.87 ms.
+# ---------------------------------------------------------------------------
+
+
+def _cross_smallkv_kernel(q_ref, kt_ref, v2_ref, bias_ref,
+                          cq_ref, sq_ref, aq_ref, rq_ref, mu_ref, o_ref, *,
+                          skv_blk: int, eps: float, norm_q: bool):
+    # one grid step = one (q block, head pair): prologue q, one score matmul
+    # against the whole (pre-prologued, block-diagonal) K^T, softmax, one p@v
+    x32 = q_ref[0].astype(jnp.float32)
+    if norm_q:
+        mu = jax.lax.dot_general(x32, mu_ref[:], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dlt = x32 - mu
+        var = jax.lax.dot_general(dlt * dlt, mu_ref[:], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        ln0 = dlt * jax.lax.rsqrt(var + eps)
+    else:
+        ln0 = x32
+    rot = jax.lax.dot_general(ln0, rq_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    qn = (ln0 * cq_ref[0] + rot * sq_ref[0] + aq_ref[0]).astype(q_ref.dtype)
+    s2 = jax.lax.dot_general(qn, kt_ref[0, 0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    bias = bias_ref[0, 0][None, :]
+    ps, ls = [], []
+    for hh in range(2):
+        s = jnp.minimum(s2[:, hh * skv_blk:(hh + 1) * skv_blk] + bias, 0.0)
+        p = jnp.exp2(s)
+        ls.append(jnp.sum(p, axis=-1, keepdims=True))
+        ps.append(p)
+    p2 = jnp.concatenate(ps, axis=1).astype(v2_ref.dtype)
+    acc = jax.lax.dot_general(p2, v2_ref[0, 0], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+    l2 = jnp.where(lanes < q_ref.shape[-1] // 2, ls[0], ls[1])
+    l2 = jnp.maximum(l2, jnp.finfo(jnp.float32).tiny)
+    o_ref[0] = (acc / l2).astype(o_ref.dtype)
+
+
+def _cross_norm_tabs(tabs, pad):
+    cosg, sin, add, rg = _pack_tabs(tabs)
+    batched = cosg.ndim == 3
+    cosg, sin, add, rg = _pad_tabs((cosg, sin, add, rg), pad, batched)
+    if not batched:
+        cosg, sin, add = cosg[None], sin[None], add[None]
+    return cosg, sin, add, rg, (cosg.shape[0] != 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "block_q", "eps", "norm_q", "norm_k",
+                     "interpret"))
+def _flash_cross_smallkv_tpu(q, k, v, key_bias, tabs_q, tabs_k, heads: int,
+                             block_q: int, eps: float, norm_q: bool,
+                             norm_k: bool, interpret: bool = False):
+    """Cross attention with a single-block kv side (<=512 after padding)."""
+    b, sq, hd = q.shape
+    skv = k.shape[1]
+    d = hd // heads
+    d2 = 2 * d
+    hp = heads // 2
+    sq_p = _round_up(sq, block_q)
+    skv_p = _round_up(skv, _LANES)
+
+    qp = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0)))
+    key_bias = jnp.pad(key_bias, ((0, 0), (0, skv_p - skv)),
+                       constant_values=_NEG_INF)
+    key_bias = key_bias[:, None, :] * _LOG2E
+
+    cq, sq_t, aq, rq, bq_b = _cross_norm_tabs(tabs_q, sq_p - sq)
+    ck, sk, ak, rk, _bk_b = _cross_norm_tabs(tabs_k, skv_p - skv)
+    cq, sq_t, aq = cq * _LOG2E, sq_t * _LOG2E, aq * _LOG2E
+    c_shift = jnp.minimum(
+        _tabs_score_bound(cq, sq_t, aq, rq) * _tabs_score_bound(ck, sk, ak, rk)
+        + jnp.maximum(jnp.max(key_bias), 0.0), 120.0)
+    key_bias = key_bias - c_shift
+
+    # K/V are tiny: prologue + block-diagonal packing in plain XLA. The
+    # LayerNorm is per-HEAD (d), so it runs on the unpacked [b, H, skv, d]
+    # view with the UNPACKED tables, then packs to head-pair layout.
+    kn = _apply_prologue_xla(
+        k.reshape(b, skv, heads, d).transpose(0, 2, 1, 3), tabs_k, eps,
+        norm_k).astype(q.dtype)  # [b, H, skv, d]
+    kn = kn.transpose(0, 2, 1, 3).reshape(b, skv, hp, d2).transpose(0, 2, 1, 3)
+    kn = jnp.pad(kn, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, skv_p - skv), (0, 0)))
+    knt = kn.transpose(0, 1, 3, 2)  # [b, hp, d2, skv_p]
+    cat = jnp.concatenate
+    kt2 = cat([
+        cat([knt[:, :, :d], jnp.zeros_like(knt[:, :, :d])], axis=2),
+        cat([jnp.zeros_like(knt[:, :, d:]), knt[:, :, d:]], axis=2),
+    ], axis=3)  # [b, hp, d2, 2*skv_p] block-diagonal
+    v4 = vp.reshape(b, skv_p, hp, d2).transpose(0, 2, 1, 3)
+    v2b = cat([
+        cat([v4[..., :d], jnp.zeros_like(v4[..., :d])], axis=3),
+        cat([jnp.zeros_like(v4[..., d:]), v4[..., d:]], axis=3),
+    ], axis=2)  # [b, hp, 2*skv_p, d2]
+
+    def tab_spec(blk, batched):
+        return pl.BlockSpec((1, blk, d2),
+                            lambda b_, i_, h_: (b_ if batched else 0, i_, 0))
+
+    grid = (b, sq_p // block_q, hp)
+    out = pl.pallas_call(
+        functools.partial(_cross_smallkv_kernel, skv_blk=skv_p, eps=eps,
+                          norm_q=norm_q),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d2), lambda b_, i, h_: (b_, i, h_)),
+            pl.BlockSpec((1, 1, d2, 2 * skv_p), lambda b_, i, h_: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, 2 * skv_p, d2), lambda b_, i, h_: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, skv_p), lambda b_, i, h_: (b_, 0, 0)),
+            tab_spec(block_q, bq_b),
+            tab_spec(block_q, bq_b),
+            tab_spec(block_q, bq_b),
+            pl.BlockSpec((d2, d2), lambda b_, i, h_: (0, 0)),
+            pl.BlockSpec((d2, d2), lambda b_, i, h_: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d2), lambda b_, i, h_: (b_, i, h_)),
+        out_shape=jax.ShapeDtypeStruct((b, sq_p, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qp, kt2, v2b, key_bias, cq, sq_t, aq, rq, _mu_packed(d2))
+    return out[:, :sq, :]
+
+
+def _cross_smallq_kernel(q_ref, k_ref, v_ref, bias_ref,
+                         cq_ref, sq_ref, aq_ref, rq_ref,
+                         ck_ref, sk_ref, ak_ref, rk_ref, mu_ref,
+                         o_ref, acc_scr, l_scr, *,
+                         block_kv: int, eps: float, norm_q: bool,
+                         norm_k: bool):
+    # grid (b, j_kv, pair): per-pair accumulators persist in scratch across
+    # the j sweep; the k-side tables' index depends on j only, so their DMA
+    # is elided across the inner pair sweep
+    j = pl.program_id(1)
+    h = pl.program_id(2)
+    num_kv = pl.num_programs(1)
+    d2 = q_ref.shape[-1]
+    dh = d2 // 2
+
+    def prologue(x, cos_t, sin_t, add_t, normalize):
+        x32 = x.astype(jnp.float32)
+        if normalize:
+            mu = jax.lax.dot_general(x32, mu_ref[:], (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dlt = x32 - mu
+            var = jax.lax.dot_general(dlt * dlt, mu_ref[:],
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            ln0 = dlt * jax.lax.rsqrt(var + eps)
+        else:
+            ln0 = x32
+        rot = jax.lax.dot_general(ln0, rq_ref[:], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        return (ln0 * cos_t + rot * sin_t + add_t).astype(q_ref.dtype)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[h] = jnp.zeros_like(acc_scr[h])
+        l_scr[h] = jnp.zeros_like(l_scr[h])
+
+    qn = prologue(q_ref[0], cq_ref[0], sq_ref[0], aq_ref[0], norm_q)
+    kn = prologue(k_ref[0], ck_ref[0], sk_ref[0], ak_ref[0], norm_k)
+    knt = kn.T  # [d2, Bk]
+    rows = jax.lax.broadcasted_iota(jnp.int32, knt.shape, 0)
+    kt2 = jnp.concatenate([jnp.where(rows < dh, knt, 0),
+                           jnp.where(rows >= dh, knt, 0)], axis=1)
+    v = v_ref[0]
+    lanes_v = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    v2 = jnp.concatenate([jnp.where(lanes_v < dh, v, 0),
+                          jnp.where(lanes_v >= dh, v, 0)], axis=0)
+
+    s2 = jax.lax.dot_general(qn, kt2, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    bias = bias_ref[0, 0][None, :]
+    ps = []
+    for hh in range(2):
+        s = jnp.minimum(s2[:, hh * block_kv:(hh + 1) * block_kv] + bias, 0.0)
+        p = jnp.exp2(s)
+        l_scr[h, hh, :, :1] = l_scr[h, hh, :, :1] + jnp.sum(
+            p, axis=-1, keepdims=True)
+        ps.append(p)
+    p2 = jnp.concatenate(ps, axis=1).astype(v_ref.dtype)
+    acc_scr[h] = acc_scr[h] + jax.lax.dot_general(
+        p2, v2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(j == num_kv - 1)
+    def _finalize():
+        lanes = jax.lax.broadcasted_iota(jnp.int32, acc_scr[h].shape, 1)
+        l2 = jnp.where(lanes < dh, l_scr[h, 0, :, :1], l_scr[h, 1, :, :1])
+        l2 = jnp.maximum(l2, jnp.finfo(jnp.float32).tiny)
+        o_ref[0] = (acc_scr[h] / l2).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "block_kv", "eps", "norm_q", "norm_k",
+                     "interpret"))
+def _flash_cross_smallq_tpu(q, k, v, key_bias, tabs_q, tabs_k, heads: int,
+                            block_kv: int, eps: float, norm_q: bool,
+                            norm_k: bool, interpret: bool = False):
+    """Cross attention with a single-block q side (<=512 after padding)."""
+    b, sq, hd = q.shape
+    skv = k.shape[1]
+    d = hd // heads
+    d2 = 2 * d
+    hp = heads // 2
+    sq_p = _round_up(sq, _LANES)
+    skv_p = _round_up(skv, block_kv)
+
+    qp = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, skv_p - skv), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, skv_p - skv), (0, 0)))
+    key_bias = jnp.pad(key_bias, ((0, 0), (0, skv_p - skv)),
+                       constant_values=_NEG_INF)
+    key_bias = key_bias[:, None, :] * _LOG2E
+
+    cq, sq_t, aq, rq, bq_b = _cross_norm_tabs(tabs_q, sq_p - sq)
+    ck, sk, ak, rk, bk_b = _cross_norm_tabs(tabs_k, skv_p - skv)
+    cq, sq_t, aq = cq * _LOG2E, sq_t * _LOG2E, aq * _LOG2E
+    c_shift = jnp.minimum(
+        _tabs_score_bound(cq, sq_t, aq, rq) * _tabs_score_bound(ck, sk, ak, rk)
+        + jnp.maximum(jnp.max(key_bias), 0.0), 120.0)
+    key_bias = key_bias - c_shift
+
+    def tab_spec(blk, batched, kv):
+        def imap(b_, j_, h_):
+            return (b_ if batched else 0, j_ if kv else 0, 0)
+        return pl.BlockSpec((1, blk, d2), imap)
+
+    grid = (b, skv_p // block_kv, hp)
+    out = pl.pallas_call(
+        functools.partial(_cross_smallq_kernel, block_kv=block_kv, eps=eps,
+                          norm_q=norm_q, norm_k=norm_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, sq_p, d2), lambda b_, j, h_: (b_, 0, h_)),
+            pl.BlockSpec((1, block_kv, d2), lambda b_, j, h_: (b_, j, h_)),
+            pl.BlockSpec((1, block_kv, d2), lambda b_, j, h_: (b_, j, h_)),
+            pl.BlockSpec((1, 1, block_kv), lambda b_, j, h_: (b_, 0, j)),
+            tab_spec(sq_p, bq_b, False),
+            tab_spec(sq_p, bq_b, False),
+            tab_spec(sq_p, bq_b, False),
+            pl.BlockSpec((d2, d2), lambda b_, j, h_: (0, 0)),
+            tab_spec(block_kv, bk_b, True),
+            tab_spec(block_kv, bk_b, True),
+            tab_spec(block_kv, bk_b, True),
+            pl.BlockSpec((d2, d2), lambda b_, j, h_: (0, 0)),
+            pl.BlockSpec((d2, d2), lambda b_, j, h_: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, sq_p, d2), lambda b_, j, h_: (b_, 0, h_)),
+        out_shape=jax.ShapeDtypeStruct((b, sq_p, hd), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((hp, sq_p, d2), jnp.float32),
+            pltpu.VMEM((hp, 2, sq_p, _LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, key_bias, cq, sq_t, aq, rq, ck, sk, ak, rk, _mu_packed(d2))
+    return out[:, :sq, :]
+
+
+def _mu_packed(d2):
+    d = d2 // 2
+    return jnp.block([
+        [jnp.full((d, d), 1.0 / d, jnp.float32), jnp.zeros((d, d), jnp.float32)],
+        [jnp.zeros((d, d), jnp.float32), jnp.full((d, d), 1.0 / d, jnp.float32)],
+    ])
+
+
+# ---------------------------------------------------------------------------
 # Packed attention backward kernel
 #
 # The XLA blocked backward streams every [Sq, Skv] logit block through HBM
@@ -1134,6 +1424,17 @@ def _flash_packed_diff(heads, block_q, block_kv, has_bias, eps, norm_q, norm_k,
     """Packed head-pair kernel with gradients (merged [B, S, H*D] operands);
     backward recomputes the prologue in XLA on the 4-D view and chains
     `_blocked_attention_bwd` — identical math to `_flash_fused_diff`."""
+    # inference primal only (under jax.grad the custom_vjp fwd below runs
+    # instead): route one-tiny-side cross shapes to the specialized
+    # pair-innermost kernels — the VIP branches' tv->vip / vip->all calls
+    if norm_q and norm_k:
+        sq, skv = q.shape[1], k.shape[1]
+        if skv <= 512 and sq > 2048:
+            return _flash_cross_smallkv_tpu(q, k, v, key_bias, tabs_q, tabs_k,
+                                            heads, 2048, eps, norm_q, norm_k)
+        if sq <= 512 and skv > 2048:
+            return _flash_cross_smallq_tpu(q, k, v, key_bias, tabs_q, tabs_k,
+                                           heads, 2048, eps, norm_q, norm_k)
     return _flash_fused_packed_tpu(q, k, v, key_bias, tabs_q, tabs_k, heads,
                                    block_q, block_kv, has_bias, eps,
                                    norm_q, norm_k)
