@@ -45,7 +45,9 @@ def measure(layers: int, use_vip: bool, cfg_batched: bool = True,
     from tokensgen_tpu.utils.params import init_params_bf16, param_count
 
     vc = VIPConfig() if use_vip else None
-    cfg = DiTConfig.cogvideox_5b(num_layers=layers, vip=vc, ff_chunks=ff_chunks)
+    fuse = os.environ.get("BENCH_FUSE_QKV", "0") == "1"
+    cfg = DiTConfig.cogvideox_5b(num_layers=layers, vip=vc, ff_chunks=ff_chunks,
+                                 fuse_qkv=fuse)
     b, f, h, w = 1, 13, 60, 90
     hp, wp = h // 2, w // 2
     d = cfg.attention_head_dim
