@@ -34,3 +34,56 @@ def test_fused_matches_unfused():
     back = unfuse_qkv_params(fused)
     out_b = model.apply({"params": back}, x, text, t, image_rotary_emb=rope)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_b), rtol=1e-6)
+
+
+def test_graft_vip_on_fused_qkv():
+    """graft_vip_params splits a fused to_qkv into the vip projections — a
+    fused-QKV VIP model grafts identically to the unfused one."""
+    from tokensgen_tpu.models.dit import VIPConfig, graft_vip_params
+    import flax
+
+    vc = VIPConfig(length=2 * 2 * 3, output_dim=24, num_temporal_queries=2,
+                   num_height_queries=2, num_width_queries=3)
+    cfg = DiTConfig.tiny(vip=vc)
+    cfg_f = DiTConfig.tiny(vip=vc, fuse_qkv=True)
+    rng = np.random.default_rng(1)
+    f = 2
+    hp, wp = cfg.sample_height // 2, cfg.sample_width // 2
+    d = cfg.attention_head_dim
+    x = jnp.asarray(rng.normal(size=(1, f, 16, cfg.sample_height,
+                                     cfg.sample_width)), jnp.float32)
+    text = jnp.asarray(rng.normal(size=(1, cfg.max_text_seq_length,
+                                        cfg.text_embed_dim)), jnp.float32)
+    t = jnp.asarray([500])
+    vip_tokens = jnp.asarray(
+        rng.normal(size=(1, 2, cfg.inner_dim, 2, 3)), jnp.float32)
+    kwargs = dict(
+        image_rotary_emb=get_3d_rotary_pos_embed_v2(
+            d, np.arange(f), np.arange(hp), np.arange(wp)),
+        vip_image_rotary_emb=get_3d_rotary_pos_embed_v2(
+            d, np.arange(f) + 1000, np.arange(hp), np.arange(wp)),
+        vip_condition_rotary_emb=get_3d_rotary_pos_embed_v2(
+            d, np.arange(2) + 1000, np.arange(2), np.arange(3)),
+    )
+
+    model = CogVideoXTransformer(cfg)
+    params = model.init(jax.random.PRNGKey(0), x, text, t,
+                        vip_hidden_states=vip_tokens, **kwargs)["params"]
+    grafted = graft_vip_params(params, cfg)
+    out = model.apply({"params": grafted}, x, text, t,
+                      vip_hidden_states=vip_tokens, **kwargs)
+
+    fused = fuse_qkv_params(params)
+    grafted_f = graft_vip_params(fused, cfg_f)
+    # the split thirds must land in the vip projections
+    flat = flax.traverse_util.flatten_dict(grafted_f)
+    flat_u = flax.traverse_util.flatten_dict(grafted)
+    for key, val in flat_u.items():
+        if "vip_to_q" in key or "vip_to_k" in key or "vip_to_v" in key:
+            np.testing.assert_array_equal(np.asarray(val),
+                                          np.asarray(flat[key]))
+    model_f = CogVideoXTransformer(cfg_f)
+    out_f = model_f.apply({"params": grafted_f}, x, text, t,
+                          vip_hidden_states=vip_tokens, **kwargs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_f),
+                               rtol=1e-5, atol=1e-5)

@@ -673,4 +673,14 @@ def graft_vip_params(params, config: DiTConfig):
                     new_key = tuple(vip_name if k == base else k for k in key)
                     if new_key in flat:
                         out[new_key] = val
+            if "to_qkv" in key:
+                # fused base (fuse_qkv=True): split thirds into the (always
+                # unfused) vip projections
+                q_, k_, v_ = jnp.split(val, 3, axis=-1)
+                for vip_name, part in (("vip_to_q", q_), ("vip_to_k", k_),
+                                       ("vip_to_v", v_)):
+                    new_key = tuple(vip_name if k == "to_qkv" else k
+                                    for k in key)
+                    if new_key in flat:
+                        out[new_key] = part
     return flax.traverse_util.unflatten_dict(out)
