@@ -449,12 +449,19 @@ class VAERunner:
     # importantly, lets the whole stack share one chip at all.
 
     def offload_to_host(self):
-        cpu = jax.devices("cpu")[0]
-        self.params = jax.device_put(self.params, cpu)
+        # keep a persistent host MASTER (params never mutate at inference):
+        # the first offload pays one D2H copy, every later one is a free
+        # rebind and every restore an H2D upload — never a repeat D2H
+        if getattr(self, "_params_host", None) is None:
+            self._params_host = jax.device_put(self.params,
+                                               jax.devices("cpu")[0])
+        self.params = self._params_host
 
     def restore_to_device(self, device=None):
         device = device or jax.devices()[0]
-        self.params = jax.device_put(self.params, device)
+        src = getattr(self, "_params_host", None)
+        self.params = jax.device_put(src if src is not None else self.params,
+                                     device)
 
     # -- encode --
 

@@ -123,6 +123,14 @@ class To2VPipeline:
         # tiny standalone copy of the DiT's patch conv so the VIP-encode phase
         # never needs the full 14 GB dit_params resident (single-chip offload)
         self._patch_proj = None
+        # persistent HOST masters for the offload orchestration: params never
+        # mutate during inference, so after ONE initial D2H copy every later
+        # phase move is either a free rebind (offload) or an H2D upload
+        # (restore) — never a repeat D2H of the 14.3 GB DiT tree. (Through the
+        # axon tunnel D2H runs at 0.02 GB/s vs 0.12 H2D; on a real host the
+        # saving is simply half the PCIe traffic.)
+        self._dit_params_host = None
+        self._resampler_params_host = None
         if dit_params is not None and "patch_proj" in dit_params.get("params", {}):
             self._patch_proj = {"patch_proj": dit_params["params"]["patch_proj"]}
 
@@ -529,11 +537,17 @@ class To2VPipeline:
             # VAE/resampler first: a previous offload run ends with them on
             # host — see the tail of this method.)
             dev0 = jax.devices()[0]
-            self.dit_params = jax.device_put(
-                self.dit_params, jax.devices("cpu")[0])
+            if self._dit_params_host is None:
+                self._dit_params_host = jax.device_put(
+                    self.dit_params, jax.devices("cpu")[0])
+            self.dit_params = self._dit_params_host
             if self.vae is not None:
                 self.vae.restore_to_device(dev0)
-            self.resampler_params = jax.device_put(self.resampler_params, dev0)
+            if self._resampler_params_host is None:
+                self._resampler_params_host = jax.device_put(
+                    self.resampler_params, jax.devices("cpu")[0])
+            self.resampler_params = jax.device_put(
+                self._resampler_params_host, dev0)
         if image_embeddings is None and frames is not None:
             if cfg.use_vae_as_encoder:
                 image_embeddings = self.vip_encode_video(frames, rng=r_vip)
@@ -544,12 +558,17 @@ class To2VPipeline:
         if offload_vae:
             if image_embeddings is not None:
                 jax.block_until_ready(image_embeddings)
-            cpu = jax.devices("cpu")[0]
             dev = jax.devices()[0]
             if self.vae is not None:
                 self.vae.offload_to_host()
-            self.resampler_params = jax.device_put(self.resampler_params, cpu)
-            self.dit_params = jax.device_put(self.dit_params, dev)
+            if self._resampler_params_host is not None:
+                self.resampler_params = self._resampler_params_host
+            else:
+                self.resampler_params = jax.device_put(
+                    self.resampler_params, jax.devices("cpu")[0])
+            src = (self._dit_params_host if self._dit_params_host is not None
+                   else self.dit_params)
+            self.dit_params = jax.device_put(src, dev)
 
         res, image_rope, model_fn = self.base_denoise(
             prompt_embeds, negative_embeds, image_embeddings, num_chunks, r_base,
@@ -590,14 +609,15 @@ class To2VPipeline:
         }
         if decode and self.vae is not None:
             if offload_vae:
-                # decode phase: DiT back to host, VAE back on device
+                # decode phase: DiT back to host (free: rebind the master,
+                # the device buffers drop with their last reference), VAE
+                # back on device
                 jax.block_until_ready(fifo_res.latents)
                 jax.block_until_ready(res.latents)
-                self.dit_params = jax.device_put(
-                    self.dit_params, jax.devices("cpu")[0])
+                self.dit_params = self._dit_params_host
                 self.vae.restore_to_device()
                 self.resampler_params = jax.device_put(
-                    self.resampler_params, jax.devices()[0])
+                    self._resampler_params_host, jax.devices()[0])
             out["video"] = self.decode_latents(fifo_res.latents)
             out["orig_video"] = self.decode_latents(res.latents)
             if fifo_res.cache_x0 is not None:
@@ -624,11 +644,13 @@ class To2VPipeline:
             # later call.
             for v in out.values():
                 jax.block_until_ready(v)
-            cpu = jax.devices("cpu")[0]
             if self.vae is not None:
                 self.vae.offload_to_host()
-            self.resampler_params = jax.device_put(self.resampler_params, cpu)
-            self.dit_params = jax.device_put(self.dit_params, jax.devices()[0])
+            if self._resampler_params_host is not None:
+                self.resampler_params = self._resampler_params_host
+            src = (self._dit_params_host if self._dit_params_host is not None
+                   else self.dit_params)
+            self.dit_params = jax.device_put(src, jax.devices()[0])
         return out
 
     # ----------------------------------------------- alternate sampling modes

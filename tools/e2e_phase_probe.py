@@ -71,18 +71,22 @@ def main():
     dit = CogVideoXTransformer(dcfg)
     d = dcfg.attention_head_dim
     rope = get_3d_rotary_pos_embed_v2(d, np.arange(13), np.arange(30), np.arange(45))
-    dit_params = init_params_bf16(
-        dit.init, r3,
-        jnp.zeros((1, 13, 16, 60, 90), jnp.bfloat16),
-        jnp.zeros((1, dcfg.max_text_seq_length, dcfg.text_embed_dim), jnp.bfloat16),
-        jnp.zeros((1,), jnp.int32),
-        vip_hidden_states=jnp.zeros((1, 5, 3072, 8, 12), jnp.bfloat16),
-        image_rotary_emb=rope,
-        vip_image_rotary_emb=rope,
-        vip_condition_rotary_emb=get_3d_rotary_pos_embed_v2(
-            d, np.arange(5), np.arange(8), np.arange(12)),
-    )
-    dit_params = {"params": graft_vip_params(dit_params["params"], dcfg)}
+    # host-side init: the encode phase parks the DiT on host anyway, and a
+    # host-born tree turns that first move into a rebind instead of a
+    # 14.3 GB D2H through the 0.02 GB/s tunnel
+    with jax.default_device(jax.devices("cpu")[0]):
+        dit_params = init_params_bf16(
+            dit.init, r3,
+            jnp.zeros((1, 13, 16, 60, 90), jnp.bfloat16),
+            jnp.zeros((1, dcfg.max_text_seq_length, dcfg.text_embed_dim), jnp.bfloat16),
+            jnp.zeros((1,), jnp.int32),
+            vip_hidden_states=jnp.zeros((1, 5, 3072, 8, 12), jnp.bfloat16),
+            image_rotary_emb=rope,
+            vip_image_rotary_emb=rope,
+            vip_condition_rotary_emb=get_3d_rotary_pos_embed_v2(
+                d, np.arange(5), np.arange(8), np.arange(12)),
+        )
+        dit_params = {"params": graft_vip_params(dit_params["params"], dcfg)}
     mark(f"params ready: {(param_count(dit_params))/1e9:.2f}B DiT", t0)
 
     sched = S.make_schedule(S.ScheduleConfig())
