@@ -161,3 +161,13 @@ def test_fifo_stochastic_runs(setup):
     fcfg = _fcfg(stochastic=True)
     res = F.fifo_generate(perfect_model, None, sched, fcfg, seed, rng=jax.random.PRNGKey(3))
     assert np.isfinite(np.asarray(res.latents)).all()
+
+
+def test_fifo_rejects_short_queue(setup):
+    """steps < nf_per_chunk cannot emit num_frames clean frames (the latents
+    slice would return warm-up frames); the engine must refuse loudly."""
+    sched, target, perfect_model, base_model = setup
+    seed = _make_seed(sched, base_model)
+    fcfg = _fcfg(num_inference_steps=NF - 1)
+    with pytest.raises(ValueError, match="num_inference_steps >= nf_per_chunk"):
+        F.fifo_generate(perfect_model, None, sched, fcfg, seed)

@@ -202,3 +202,15 @@ def test_sequential_cfg_matches_batched(pipe):
     np.testing.assert_allclose(np.asarray(out_b["latents"]),
                                np.asarray(out_s["latents"]),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_decode_latents_remainder(pipe):
+    """A latent count that is not a multiple of nf_latent decodes the tail as
+    a short chunk instead of silently dropping it (FIFO outputs can end on a
+    partial window)."""
+    rng = np.random.default_rng(7)
+    lat = jnp.asarray(rng.normal(size=(1, 4, 16, 4, 6)), jnp.float32)
+    video = pipe.decode_latents(lat)
+    # 3-frame chunk -> 9 px frames, 1-frame tail -> 1 px frame (causal VAE)
+    assert video.shape == (1, 10, 32, 48, 3)
+    assert np.isfinite(np.asarray(video)).all()

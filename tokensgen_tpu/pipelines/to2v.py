@@ -748,7 +748,13 @@ class To2VPipeline:
         nf = self.cfg.nf_latent
         z = latents / self.vae.config.scaling_factor
         z = z.transpose(0, 1, 3, 4, 2)  # channels-last for the VAE
+        total = z.shape[1]
+        if total == 0:
+            raise ValueError("decode_latents: empty latent sequence")
         outs = []
-        for cid in range(z.shape[1] // nf):
-            outs.append(self.vae.decode(z[:, cid * nf:(cid + 1) * nf]))
+        for start in range(0, total, nf):
+            # a short tail chunk (total not a multiple of nf) decodes fine —
+            # the causal VAE accepts any frame count; dropping it would
+            # silently truncate the video
+            outs.append(self.vae.decode(z[:, start:min(start + nf, total)]))
         return jnp.concatenate(outs, axis=1)

@@ -170,6 +170,15 @@ def fifo_generate(
     nf, r_nf, l_nf = fcfg.nf_per_chunk, fcfg.r_nf, fcfg.l_nf
     R, Q = fcfg.num_ranks, fcfg.queue_len
     steps = fcfg.num_inference_steps
+    if steps < nf:
+        # the queue must hold at least one full window past warm-up; with
+        # steps < nf the engine cannot emit num_frames clean frames within
+        # num_iterations (`latents = all_emitted[:, steps - nf:]` would slice
+        # warm-up frames) — the reference geometry assumes steps >= nf
+        raise ValueError(
+            f"FIFO requires num_inference_steps >= nf_per_chunk "
+            f"({steps} < {nf}): the denoise queue is shorter than one "
+            f"frame window")
     ts = np.asarray(seed.timesteps)
     pos_t_np, pos_prev_np, pos_next_np = _position_timesteps(ts, fcfg)
     pos_t = jnp.asarray(pos_t_np)
