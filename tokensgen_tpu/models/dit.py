@@ -42,6 +42,7 @@ from tokensgen_tpu.models.layers import (
     LayerNorm,
     TimestepEmbedding,
     VIPAdaLN,
+    make_dense,
     timestep_sinusoidal,
 )
 
@@ -111,6 +112,13 @@ class DiTConfig:
     # (lax.map): caps the [B, S, 4*inner] gelu intermediate at 1/N size so the
     # CFG-batched B=2 forward of the 7.17B model fits a 16 GB chip. 1 = off.
     ff_chunks: int = 1
+    # int8 quantization of the per-block attention/FF projections (opt-in
+    # serving mode, no reference analog): None | "w8a16" (weight-only — DiT
+    # weight bytes halve, full 42-layer depth fits one 16 GB chip) | "w8a8"
+    # (dynamic activation quant + int8 MXU matmuls). Convert a trained bf16
+    # tree with `quantize_dit_params` AFTER any `graft_vip_params` /
+    # `fuse_qkv_params` transforms.
+    quant: Optional[str] = None
 
     @property
     def inner_dim(self) -> int:
@@ -226,7 +234,8 @@ class JointVIPAttention(nn.Module):
                 norm_k=cfg.qk_norm, tp_axis=cfg.tp_axis, **kw)
 
         def dense(name):
-            return nn.Dense(inner, use_bias=cfg.attention_bias, dtype=dt, name=name)
+            return make_dense(inner, quant=cfg.quant,
+                              use_bias=cfg.attention_bias, dtype=dt, name=name)
 
         def ln_params(name):
             if cfg.qk_norm:
@@ -234,8 +243,9 @@ class JointVIPAttention(nn.Module):
             return None, None
 
         if cfg.fuse_qkv:
-            qkv = nn.Dense(3 * inner, use_bias=cfg.attention_bias, dtype=dt,
-                           name="to_qkv")(text_video)
+            qkv = make_dense(3 * inner, quant=cfg.quant,
+                             use_bias=cfg.attention_bias, dtype=dt,
+                             name="to_qkv")(text_video)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             q = dense("to_q")(text_video)
@@ -368,7 +378,8 @@ class JointVIPAttention(nn.Module):
             merged = jnp.concatenate([out, vip_attn_out], axis=1)
         else:
             merged = out
-        proj = nn.Dense(inner, use_bias=True, dtype=dt, name="to_out")(merged)
+        proj = make_dense(inner, quant=cfg.quant, use_bias=True, dtype=dt,
+                          name="to_out")(merged)
         text_out = proj[:, :text_len]
         if cfg.vip is not None and ft != "3":
             vip_len = vip.shape[1]
@@ -437,7 +448,8 @@ class DiTBlock(nn.Module):
         norm_h, norm_t, gate2, t_gate2 = AdaLNZero(cfg.inner_dim, dtype=cfg.dtype, name="norm2")(
             hidden, text, temb
         )
-        ff = FeedForward(cfg.inner_dim, dtype=cfg.dtype, name="ff")
+        ff = FeedForward(cfg.inner_dim, dtype=cfg.dtype, quant=cfg.quant,
+                         name="ff")
 
         def ff_apply(x):
             n = cfg.ff_chunks
@@ -645,6 +657,45 @@ def unfuse_qkv_params(params):
             out[base + ("to_q", leaf)] = q
             out[base + ("to_k", leaf)] = k
             out[base + ("to_v", leaf)] = v
+        else:
+            out[key] = val
+    return flax.traverse_util.unflatten_dict(out)
+
+
+# per-block dense projections that the `quant` mode replaces with QuantDense
+_QUANTIZED_DENSE = (
+    "to_q", "to_k", "to_v", "to_qkv", "vip_to_q", "vip_to_k", "vip_to_v",
+    "to_out", "net_0_proj", "net_2",
+)
+
+
+def quantize_dit_params(params, config: DiTConfig):
+    """bf16/f32 DiT tree -> the int8 layout of a model built with
+    ``quant="w8a16"|"w8a8"``: each per-block attention/FF ``kernel`` becomes
+    ``kernel_q`` int8 + per-output-channel f32 ``scale`` (absmax). Embedding/
+    patch/output projections stay full precision (tiny share of the bytes).
+    Apply AFTER `graft_vip_params` / `fuse_qkv_params` — quantization is the
+    last transform. Works on scan-stacked [L, in, out] kernels (scale gets
+    the leading L axis the scanned QuantDense expects)."""
+    if not config.quant:
+        return params
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    out = {}
+    for key, val in flat.items():
+        in_blocks = "blocks" in key[:-2]
+        if (in_blocks and len(key) >= 2 and key[-1] == "kernel"
+                and key[-2] in _QUANTIZED_DENSE):
+            k = jnp.asarray(val, jnp.float32)
+            scale = jnp.maximum(jnp.max(jnp.abs(k), axis=-2), 1e-12) / 127.0
+            kq = jnp.clip(jnp.round(k / scale[..., None, :]),
+                          -127, 127).astype(jnp.int8)
+            out[key[:-1] + ("kernel_q",)] = kq
+            out[key[:-1] + ("scale",)] = scale
+        elif (in_blocks and len(key) >= 2 and key[-1] == "bias"
+                and key[-2] in _QUANTIZED_DENSE):
+            out[key] = jnp.asarray(val, jnp.float32)
         else:
             out[key] = val
     return flax.traverse_util.unflatten_dict(out)

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -96,19 +97,79 @@ def _layer_norm_with(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     return (y * scale + bias).astype(orig_dtype)
 
 
+class QuantDense(nn.Module):
+    """int8-quantized Dense (opt-in serving mode; no reference analog — the
+    reference runs fp16/bf16 only). Params: ``kernel_q`` int8 [in, out] +
+    ``scale`` f32 [out] (per-output-channel absmax), optional ``bias`` f32 —
+    produced from a trained bf16 tree by ``models.dit.quantize_dit_params``.
+
+    * ``w8a16``: bf16 activations x dequantized int8 weights — halves the
+      weight bytes at rest (the 14.3 GB To2V DiT fits a 16 GB chip whole);
+      MXU still runs bf16.
+    * ``w8a8``: dynamic per-row activation quantization + int8xint8->int32
+      MXU matmul (2x bf16 peak on v5e) — a labeled turbo mode, NOT used for
+      baseline-parity numbers.
+    """
+
+    features: int
+    mode: str = "w8a16"
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_f = x.shape[-1]
+        kq = self.param("kernel_q", nn.initializers.zeros_init(),
+                        (in_f, self.features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (self.features,), jnp.float32)
+        cdims = (((x.ndim - 1,), (0,)), ((), ()))
+        if self.mode == "w8a8":
+            ax = jnp.abs(x.astype(jnp.float32))
+            rs = jnp.maximum(jnp.max(ax, axis=-1, keepdims=True), 1e-6) / 127.0
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / rs),
+                          -127, 127).astype(jnp.int8)
+            y = jax.lax.dot_general(xq, kq, cdims,
+                                    preferred_element_type=jnp.int32)
+            y = (y.astype(jnp.float32) * rs * scale).astype(self.dtype)
+        elif self.mode == "w8a16":
+            y = jax.lax.dot_general(x.astype(self.dtype),
+                                    kq.astype(self.dtype), cdims)
+            y = (y.astype(jnp.float32) * scale).astype(self.dtype)
+        else:
+            raise ValueError(f"unknown quant mode {self.mode!r}")
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(),
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def make_dense(features: int, *, quant=None, use_bias: bool = True,
+               dtype=jnp.bfloat16, name: str):
+    """nn.Dense or its QuantDense drop-in, by the config's ``quant`` field."""
+    if quant:
+        return QuantDense(features, mode=quant, use_bias=use_bias,
+                          dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+
+
 class FeedForward(nn.Module):
     """gelu-approximate MLP (diffusers `FeedForward` semantics, mult=4)."""
 
     dim: int
     mult: int = 4
     dtype: jnp.dtype = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inner = self.dim * self.mult
-        x = nn.Dense(inner, dtype=self.dtype, name="net_0_proj")(x)
+        x = make_dense(inner, quant=self.quant, dtype=self.dtype,
+                       name="net_0_proj")(x)
         x = nn.gelu(x, approximate=True)
-        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
+        return make_dense(self.dim, quant=self.quant, dtype=self.dtype,
+                          name="net_2")(x)
 
 
 def _per_frame_expand(t: jnp.ndarray, hw: int) -> jnp.ndarray:

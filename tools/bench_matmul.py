@@ -77,6 +77,29 @@ def main():
     loop_timed("ff chain, f32 accum", ff_step32, x, (),
                2 * s * inner * 4 * inner * 2)
 
+    # int8 x int8 -> int32 MXU rate at the ff1 shape (v5e lists 394 int8 TOPS
+    # = 2x bf16 peak; if XLA reaches it, a W8A8 dense path is a real lever)
+    xi = jnp.clip(jnp.round(x * 50), -127, 127).astype(jnp.int8)
+    w1i = jnp.clip(jnp.round(w1 * 2000), -127, 127).astype(jnp.int8)
+
+    def int8_step(acc, a):
+        h = jax.lax.dot_general(acc, w1i, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        # fold back to int8 with a shift so the loop stays int8-in
+        return (h >> 12).astype(jnp.int8)[:, :inner]
+
+    loop_timed("ff1 int8xint8->int32", int8_step, xi, (),
+               2 * s * inner * 4 * inner)
+
+    # W8A16: bf16 activations x int8 weights (dequant inline) — the
+    # numerics-safe variant (weights HBM halves; MXU still runs bf16)
+    def w8a16_step(acc, a):
+        h = acc @ w1i.astype(jnp.bfloat16)
+        return h[:, :inner].astype(jnp.bfloat16)
+
+    loop_timed("ff1 bf16 x dequant-int8 (W8A16)", w8a16_step, x, (),
+               2 * s * inner * 4 * inner)
+
 
 if __name__ == "__main__":
     main()
