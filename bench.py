@@ -46,8 +46,12 @@ def measure(layers: int, use_vip: bool, cfg_batched: bool = True,
 
     vc = VIPConfig() if use_vip else None
     fuse = os.environ.get("BENCH_FUSE_QKV", "0") == "1"
+    quant = os.environ.get("BENCH_QUANT") or None  # w8a16|w8a8: labeled turbo
+    if quant:
+        log(f"NOTE: BENCH_QUANT={quant} — int8 serving mode, NOT a baseline-"
+            f"parity configuration; headline numbers stay bf16")
     cfg = DiTConfig.cogvideox_5b(num_layers=layers, vip=vc, ff_chunks=ff_chunks,
-                                 fuse_qkv=fuse)
+                                 fuse_qkv=fuse, quant=quant)
     b, f, h, w = 1, 13, 60, 90
     hp, wp = h // 2, w // 2
     d = cfg.attention_head_dim

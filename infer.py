@@ -39,7 +39,8 @@ def build_pipeline(cfg, smoke: bool):
     if smoke:
         vc = VIPConfig(output_dim=24, num_temporal_queries=2, num_height_queries=2,
                        num_width_queries=3, length=3 * 2 * 3)
-        dcfg = DiTConfig.tiny(vip=vc, sample_height=4, sample_width=6)
+        dcfg = DiTConfig.tiny(vip=vc, sample_height=4, sample_width=6,
+                              quant=cfg.get("quant") or None)
         rcfg = ResamplerConfig.tiny(embedding_dim=dcfg.inner_dim, output_dim=24,
                                     num_temporal_queries=2, num_height_queries=2,
                                     num_width_queries=3)
@@ -59,7 +60,8 @@ def build_pipeline(cfg, smoke: bool):
         )
         # ff_chunks=4: the CFG-batched (B=2) 7.17B forward only fits a 16 GB
         # chip with the joint-FF gelu intermediate capped (identical math)
-        dcfg = DiTConfig.cogvideox_5b(vip=vc, ff_chunks=4)
+        dcfg = DiTConfig.cogvideox_5b(vip=vc, ff_chunks=4,
+                                      quant=cfg.get("quant") or None)
         rcfg = ResamplerConfig(**{k: v for k, v in rp.items()
                                   if k in ResamplerConfig.__dataclass_fields__})
         vcfg = VAEConfig.cogvideox()
@@ -94,7 +96,10 @@ def build_pipeline(cfg, smoke: bool):
 
     from tokensgen_tpu.core.rope import get_3d_rotary_pos_embed_v2
     d = dcfg.attention_head_dim
-    dit = CogVideoXTransformer(dcfg)
+    # init / checkpoint-convert / graft run on the full-precision layout;
+    # quantization (if configured) is the last transform
+    import dataclasses as _dc
+    dit = CogVideoXTransformer(_dc.replace(dcfg, quant=None))
     rope = get_3d_rotary_pos_embed_v2(d, np.arange(pcfg.nf_latent), np.arange(hp), np.arange(wp))
     n_vip = min(rcfg.num_temporal_queries + 1, pcfg.nf_latent)
     dit_params = dit.init(
@@ -120,6 +125,10 @@ def build_pipeline(cfg, smoke: bool):
             print(f"loaded DiT weights from {ckpt}", flush=True)
     else:
         dit_params = {"params": graft_vip_params(dit_params["params"], dcfg)}
+    if dcfg.quant:
+        from tokensgen_tpu.models.dit import quantize_dit_params
+        dit_params = {"params": quantize_dit_params(dit_params["params"], dcfg)}
+        print(f"quantized DiT dense projections: {dcfg.quant}", flush=True)
 
     # DINOv2 conditioning path (`use_vae_as_encoder: false`,
     # `infer_cogvideo_mp_fifo.py:138-183` image_encoder_path)

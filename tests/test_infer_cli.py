@@ -64,3 +64,11 @@ input_config:
 def test_infer_smoke_edit_dinov2(tmp_path):
     """Edit workload with the DINOv2 image-encoder conditioning path."""
     _run_infer(tmp_path, "use_vae_as_encoder: false")
+
+
+@pytest.mark.slow
+def test_infer_smoke_quant_w8a16(tmp_path):
+    """`quant: w8a16` config key: the pipeline runs with int8-quantized DiT
+    projections (opt-in serving mode)."""
+    res = _run_infer(tmp_path, "quant: w8a16")
+    assert "quantized DiT dense projections: w8a16" in res.stdout
