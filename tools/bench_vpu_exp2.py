@@ -24,6 +24,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def make_kernel(n_iter, op):
@@ -53,6 +54,8 @@ def main():
         fn = pl.pallas_call(
             make_kernel(n_iter, op),
             out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
         )
         jit_fn = jax.jit(fn)
         float(jnp.sum(jit_fn(x)))  # compile + warm
