@@ -130,6 +130,10 @@ def main():
     print(f"[{time.time()-t0:7.1f}s] EDIT E2E OK (incl. compile): "
           f"{dt:.1f}s -> video {video.shape}, finite={np.isfinite(video).all()}, "
           f"std={video.std():.3f}", flush=True)
+    # free run-1's device-resident outputs (video/orig_video/cache decodes,
+    # several hundred MB of HBM) before the warm run — at full depth the
+    # chip has ~60 MB of slack and holding them OOMs the second pass
+    del out
 
     # warm second run = the production-rate number
     t2 = time.time()
