@@ -45,7 +45,9 @@ def measure(layers: int, use_vip: bool, cfg_batched: bool = True,
     from tokensgen_tpu.utils.params import init_params_bf16, param_count
 
     vc = VIPConfig() if use_vip else None
-    fuse = os.environ.get("BENCH_FUSE_QKV", "0") == "1"
+    # fused q/k/v + vip_q/k/v projections are the shipped inference default
+    # (infer.py): identical math, measured faster (PERF.md round 3)
+    fuse = os.environ.get("BENCH_FUSE_QKV", "1") == "1"
     quant = os.environ.get("BENCH_QUANT") or None  # w8a16|w8a8: labeled turbo
     if quant:
         log(f"NOTE: BENCH_QUANT={quant} — int8 serving mode, NOT a baseline-"

@@ -40,7 +40,8 @@ def build_pipeline(cfg, smoke: bool):
         vc = VIPConfig(output_dim=24, num_temporal_queries=2, num_height_queries=2,
                        num_width_queries=3, length=3 * 2 * 3)
         dcfg = DiTConfig.tiny(vip=vc, sample_height=4, sample_width=6,
-                              quant=cfg.get("quant") or None)
+                              quant=cfg.get("quant") or None,
+                              fuse_qkv=cfg.get("fuse_qkv", True))
         rcfg = ResamplerConfig.tiny(embedding_dim=dcfg.inner_dim, output_dim=24,
                                     num_temporal_queries=2, num_height_queries=2,
                                     num_width_queries=3)
@@ -60,8 +61,10 @@ def build_pipeline(cfg, smoke: bool):
         )
         # ff_chunks=4: the CFG-batched (B=2) 7.17B forward only fits a 16 GB
         # chip with the joint-FF gelu intermediate capped (identical math)
+        # fuse_qkv=True: identical math, ~6% faster step (PERF.md round 3)
         dcfg = DiTConfig.cogvideox_5b(vip=vc, ff_chunks=4,
-                                      quant=cfg.get("quant") or None)
+                                      quant=cfg.get("quant") or None,
+                                      fuse_qkv=cfg.get("fuse_qkv", True))
         rcfg = ResamplerConfig(**{k: v for k, v in rp.items()
                                   if k in ResamplerConfig.__dataclass_fields__})
         vcfg = VAEConfig.cogvideox()
@@ -96,10 +99,11 @@ def build_pipeline(cfg, smoke: bool):
 
     from tokensgen_tpu.core.rope import get_3d_rotary_pos_embed_v2
     d = dcfg.attention_head_dim
-    # init / checkpoint-convert / graft run on the full-precision layout;
-    # quantization (if configured) is the last transform
+    # init / checkpoint-convert / graft run on the full-precision UNFUSED
+    # layout (reference checkpoints store separate q/k/v); qkv fusion and
+    # quantization are the last transforms, in that order
     import dataclasses as _dc
-    dit = CogVideoXTransformer(_dc.replace(dcfg, quant=None))
+    dit = CogVideoXTransformer(_dc.replace(dcfg, quant=None, fuse_qkv=False))
     rope = get_3d_rotary_pos_embed_v2(d, np.arange(pcfg.nf_latent), np.arange(hp), np.arange(wp))
     n_vip = min(rcfg.num_temporal_queries + 1, pcfg.nf_latent)
     dit_params = dit.init(
@@ -125,6 +129,9 @@ def build_pipeline(cfg, smoke: bool):
             print(f"loaded DiT weights from {ckpt}", flush=True)
     else:
         dit_params = {"params": graft_vip_params(dit_params["params"], dcfg)}
+    if dcfg.fuse_qkv:
+        from tokensgen_tpu.models.dit import fuse_qkv_params
+        dit_params = {"params": fuse_qkv_params(dit_params["params"])}
     if dcfg.quant:
         from tokensgen_tpu.models.dit import quantize_dit_params
         dit_params = {"params": quantize_dit_params(dit_params["params"], dcfg)}
@@ -269,6 +276,23 @@ def main():
             frames = jnp.asarray(src)
             write_video(os.path.join(run_dir, f"{name}_source.mp4"), src[0],
                         fps=item.get("output_fps", 10))
+        if frames is None and image_embeddings is None:
+            # edit items need a source video (the shipped configs leave
+            # `video: null` as a placeholder); smoke synthesizes one so the
+            # stock configs run out of the box
+            if args.smoke:
+                rng0 = np.random.default_rng(0)
+                frames = jnp.asarray(rng0.uniform(
+                    -1, 1, size=(1, num_chunks * pipe.cfg.num_frames_per_chunk,
+                                 pipe.cfg.height, pipe.cfg.width, 3)),
+                    jnp.float32)
+                print(f"item {name}: smoke — synthesized random source video",
+                      flush=True)
+            else:
+                raise ValueError(
+                    f"item {name}: the edit workload needs a `video:` path "
+                    f"(set it in input_config), or enable `use_2nd_stage: "
+                    f"true` for text-to-long-video generation")
 
         out = pipe.generate(
             text_embeds_for(prompt), text_embeds_for(""),

@@ -75,13 +75,18 @@ def test_graft_vip_on_fused_qkv():
 
     fused = fuse_qkv_params(params)
     grafted_f = graft_vip_params(fused, cfg_f)
-    # the split thirds must land in the vip projections
+    # the vip branch fuses too: vip_to_qkv == concat(vip_to_q, vip_to_k,
+    # vip_to_v) of the unfused graft
     flat = flax.traverse_util.flatten_dict(grafted_f)
     flat_u = flax.traverse_util.flatten_dict(grafted)
-    for key, val in flat_u.items():
-        if "vip_to_q" in key or "vip_to_k" in key or "vip_to_v" in key:
-            np.testing.assert_array_equal(np.asarray(val),
-                                          np.asarray(flat[key]))
+    for key, val in flat.items():
+        if "vip_to_qkv" in key:
+            parts = [flat_u[tuple(n if k == "vip_to_qkv" else k for k in key)]
+                     for n in ("vip_to_q", "vip_to_k", "vip_to_v")]
+            np.testing.assert_array_equal(
+                np.asarray(val), np.concatenate([np.asarray(p) for p in parts],
+                                                axis=-1))
+    assert any("vip_to_qkv" in k for k in flat), "vip projections not fused"
     model_f = CogVideoXTransformer(cfg_f)
     out_f = model_f.apply({"params": grafted_f}, x, text, t,
                           vip_hidden_states=vip_tokens, **kwargs)

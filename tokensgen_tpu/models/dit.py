@@ -101,7 +101,10 @@ class DiTConfig:
     dtype: Any = jnp.bfloat16
     remat: bool = False
     # fused q/k/v projections (one matmul), the `FusedCogVideoXAttnProcessor2_0`
-    # analog (`attention_processor.py:2663-2733`); convert params with
+    # analog (`attention_processor.py:2663-2733`); also fuses the VIP branch's
+    # vip_to_{q,k,v} -> vip_to_qkv (same operand, func_types 1-4). Measured on
+    # v5e: XLA runs an [S,3072]x[3072,3072] projection at ~71 TF/s but the
+    # fused [S,3072]x[3072,9216] at ~131 TF/s. Convert params with
     # `fuse_qkv_params` / `unfuse_qkv_params`
     fuse_qkv: bool = False
     # tensor-parallel mesh axis: when set, attention ops shard_map themselves
@@ -237,20 +240,25 @@ class JointVIPAttention(nn.Module):
             return make_dense(inner, quant=cfg.quant,
                               use_bias=cfg.attention_bias, dtype=dt, name=name)
 
+        def qkv_proj(prefix, operand):
+            # one [3072, 9216] matmul instead of three [3072, 3072] ones when
+            # cfg.fuse_qkv (the square shape underutilizes the MXU, see
+            # DiTConfig.fuse_qkv)
+            if cfg.fuse_qkv:
+                fused = make_dense(3 * inner, quant=cfg.quant,
+                                   use_bias=cfg.attention_bias, dtype=dt,
+                                   name=prefix + "to_qkv")(operand)
+                return jnp.split(fused, 3, axis=-1)
+            return (dense(prefix + "to_q")(operand),
+                    dense(prefix + "to_k")(operand),
+                    dense(prefix + "to_v")(operand))
+
         def ln_params(name):
             if cfg.qk_norm:
                 return QKNorm(d, name=name)()
             return None, None
 
-        if cfg.fuse_qkv:
-            qkv = make_dense(3 * inner, quant=cfg.quant,
-                             use_bias=cfg.attention_bias, dtype=dt,
-                             name="to_qkv")(text_video)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-        else:
-            q = dense("to_q")(text_video)
-            k = dense("to_k")(text_video)
-            v = dense("to_v")(text_video)
+        q, k, v = qkv_proj("", text_video)
         # qk-norm and rope run inside the kernel prologue: per-position tables
         # with identity rows for the text segment (video-only rope)
         gq, bq = ln_params("norm_q")
@@ -270,9 +278,7 @@ class JointVIPAttention(nn.Module):
             lv = vip.shape[1]
             tv_len = text_video.shape[1]
             allseq = jnp.concatenate([text_video, vip, ar], axis=1)
-            vq = dense("vip_to_q")(allseq)
-            vk = dense("vip_to_k")(allseq)
-            vv = dense("vip_to_v")(allseq)
+            vq, vk, vv = qkv_proj("vip_", allseq)
             vgq, vbq = ln_params("vip_norm_q")
             vgk, vbk = ln_params("vip_norm_k")
             # ar tokens take the leading temporal positions of the vip-image
@@ -322,9 +328,7 @@ class JointVIPAttention(nn.Module):
             tv_len = tv_input.shape[1]
             lv = vip.shape[1]
             both = jnp.concatenate([tv_input, vip], axis=1)
-            vq = dense("vip_to_q")(both)
-            vk = dense("vip_to_k")(both)
-            vv = dense("vip_to_v")(both)
+            vq, vk, vv = qkv_proj("vip_", both)
             vgq, vbq = ln_params("vip_norm_q")
             vgk, vbk = ln_params("vip_norm_k")
             # "1": text identity + video vip-image rope; "2"/"3": whole tv_input
@@ -618,45 +622,54 @@ class CogVideoXTransformer(nn.Module):
         return out
 
 
+_QKV_GROUPS = (
+    (("to_q", "to_k", "to_v"), "to_qkv"),
+    (("vip_to_q", "vip_to_k", "vip_to_v"), "vip_to_qkv"),
+)
+
+
 def fuse_qkv_params(params):
-    """to_q/to_k/to_v -> to_qkv (concat along the output dim), for a model built
-    with ``fuse_qkv=True`` (`fuse_qkv_projections`,
-    `cogvideox_transformer_3d.py:552-575`). Works on scan-stacked blocks."""
+    """to_q/to_k/to_v -> to_qkv and vip_to_q/k/v -> vip_to_qkv (concat along
+    the output dim), for a model built with ``fuse_qkv=True``
+    (`fuse_qkv_projections`, `cogvideox_transformer_3d.py:552-575`). Works on
+    scan-stacked blocks."""
     import flax
 
     flat = flax.traverse_util.flatten_dict(params)
     out = {}
     done = set()
     for key, val in flat.items():
-        if len(key) >= 2 and key[-2] in ("to_q", "to_k", "to_v"):
-            base = key[:-2]
-            if base in done:
-                continue
-            done.add(base)
-            for leaf in ("kernel", "bias"):
-                parts = [flat.get(base + (n, leaf)) for n in ("to_q", "to_k", "to_v")]
-                if parts[0] is None:
-                    continue
-                out[base + ("to_qkv", leaf)] = jnp.concatenate(parts, axis=-1)
-        else:
+        group = next((g for g in _QKV_GROUPS
+                      if len(key) >= 2 and key[-2] in g[0]), None)
+        if group is None:
             out[key] = val
+            continue
+        names, fused_name = group
+        base = key[:-2]
+        if (base, fused_name) in done:
+            continue
+        done.add((base, fused_name))
+        for leaf in ("kernel", "bias"):
+            parts = [flat.get(base + (n, leaf)) for n in names]
+            if parts[0] is None:
+                continue
+            out[base + (fused_name, leaf)] = jnp.concatenate(parts, axis=-1)
     return flax.traverse_util.unflatten_dict(out)
 
 
 def unfuse_qkv_params(params):
-    """Inverse of :func:`fuse_qkv_params`."""
+    """Inverse of :func:`fuse_qkv_params` (both base and vip groups)."""
     import flax
 
+    fused_to_names = {f: n for n, f in _QKV_GROUPS}
     flat = flax.traverse_util.flatten_dict(params)
     out = {}
     for key, val in flat.items():
-        if len(key) >= 2 and key[-2] == "to_qkv":
-            base = key[:-2]
-            leaf = key[-1]
-            q, k, v = jnp.split(val, 3, axis=-1)
-            out[base + ("to_q", leaf)] = q
-            out[base + ("to_k", leaf)] = k
-            out[base + ("to_v", leaf)] = v
+        names = fused_to_names.get(key[-2]) if len(key) >= 2 else None
+        if names is not None:
+            base, leaf = key[:-2], key[-1]
+            for name, part in zip(names, jnp.split(val, 3, axis=-1)):
+                out[base + (name, leaf)] = part
         else:
             out[key] = val
     return flax.traverse_util.unflatten_dict(out)
@@ -664,7 +677,8 @@ def unfuse_qkv_params(params):
 
 # per-block dense projections that the `quant` mode replaces with QuantDense
 _QUANTIZED_DENSE = (
-    "to_q", "to_k", "to_v", "to_qkv", "vip_to_q", "vip_to_k", "vip_to_v",
+    "to_q", "to_k", "to_v", "to_qkv",
+    "vip_to_q", "vip_to_k", "vip_to_v", "vip_to_qkv",
     "to_out", "net_0_proj", "net_2",
 )
 
@@ -717,6 +731,7 @@ def graft_vip_params(params, config: DiTConfig):
                 ("to_q", "vip_to_q"),
                 ("to_k", "vip_to_k"),
                 ("to_v", "vip_to_v"),
+                ("to_qkv", "vip_to_qkv"),
                 ("norm_q", "vip_norm_q"),
                 ("norm_k", "vip_norm_k"),
             ):
@@ -725,8 +740,8 @@ def graft_vip_params(params, config: DiTConfig):
                     if new_key in flat:
                         out[new_key] = val
             if "to_qkv" in key:
-                # fused base (fuse_qkv=True): split thirds into the (always
-                # unfused) vip projections
+                # fused base, unfused vip target (mixed layouts): split thirds
+                # into the vip projections when those keys exist
                 q_, k_, v_ = jnp.split(val, 3, axis=-1)
                 for vip_name, part in (("vip_to_q", q_), ("vip_to_k", k_),
                                        ("vip_to_v", v_)):

@@ -30,7 +30,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 COLUMN_PARALLEL = ("to_q", "to_k", "to_v", "to_qkv", "vip_to_q", "vip_to_k",
-                   "vip_to_v", "net_0_proj")
+                   "vip_to_v", "vip_to_qkv", "net_0_proj")
 ROW_PARALLEL = ("to_out", "net_2")
 
 
