@@ -98,9 +98,12 @@ class T2ToPipeline:
         rope = self.rope(f)
         text_cfg = jnp.concatenate([negative_embeds, prompt_embeds])
 
-        def model_fn(lat_cfg, tvec):
+        # params thread through model_consts as a jit ARGUMENT — closing over
+        # the 11 GB full-size tree would bake it into the program as
+        # constants (the remote compile helper rejects such programs)
+        def model_fn(mc, lat_cfg, tvec):
             return self.dit.apply(
-                self.dit_params, lat_cfg.astype(self.dit_config.dtype),
+                mc, lat_cfg.astype(self.dit_config.dtype),
                 text_cfg, tvec, image_rotary_emb=rope,
             )
 
@@ -110,7 +113,8 @@ class T2ToPipeline:
             use_dynamic_cfg=cfg.use_dynamic_cfg,
             stochastic=cfg.stochastic,
         )
-        res = base_sampler.denoise(model_fn, self.sched, scfg, latents, rng=rng)
+        res = base_sampler.denoise(model_fn, self.sched, scfg, latents, rng=rng,
+                                   model_consts=self.dit_params)
         return res.latents
 
     def postprocess(self, latents: jnp.ndarray) -> jnp.ndarray:
