@@ -225,8 +225,12 @@ def main():
             std = jnp.asarray(np.load(cfg.longvgen_std))
         else:
             rng0 = np.random.default_rng(0)
+            # sample count >= token_dim: inverse_transform needs the full
+            # square component matrix (SVD yields min(n_samples, dim) comps)
             pca_state = pca_lib.fit(
-                jnp.asarray(rng0.normal(size=(128, t2cfg.token_dim)), jnp.float32), None)
+                jnp.asarray(rng0.normal(size=(t2cfg.token_dim + 64,
+                                              t2cfg.token_dim)),
+                            jnp.float32), None)
             mean = jnp.zeros((1, t2cfg.token_dim))
             std = jnp.ones((1, t2cfg.token_dim))
         t2to_pipe = T2ToPipeline(t2cfg, t2dcfg, t2params, pca=pca_state,

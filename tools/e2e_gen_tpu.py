@@ -67,9 +67,13 @@ def main():
     print(f"[{time.time()-t0:7.1f}s] T2To params: "
           f"{param_count(t2params)/1e9:.2f}B", flush=True)
 
-    # random-fit PCA stand-in for the mean/std/pca artifacts (none exist here)
+    # random-fit PCA stand-in for the mean/std/pca artifacts (none exist
+    # here). Sample count must be >= token_dim: inverse_transform needs the
+    # full square [3072, 3072] component matrix (the reference's pca.pt is a
+    # full PCA), and SVD only yields min(n_samples, dim) components.
     pca_state = pca_lib.fit(
-        jnp.asarray(rng_np.normal(size=(128, t2cfg.token_dim)), jnp.float32),
+        jnp.asarray(rng_np.normal(size=(t2cfg.token_dim + 64,
+                                        t2cfg.token_dim)), jnp.float32),
         None)
     mean = jnp.zeros((1, t2cfg.token_dim))
     std = jnp.ones((1, t2cfg.token_dim))
