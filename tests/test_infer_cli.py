@@ -72,3 +72,40 @@ def test_infer_smoke_quant_w8a16(tmp_path):
     projections (opt-in serving mode)."""
     res = _run_infer(tmp_path, "quant: w8a16")
     assert "quantized DiT dense projections: w8a16" in res.stdout
+
+
+@pytest.mark.slow
+def test_infer_smoke_gen_2stage(tmp_path):
+    """gen workload (`use_2nd_stage: true`): T2To generates condensed tokens
+    from text, To2V renders them — no source video
+    (`infer_cogvideo_mp_fifo.py:219-234,266-279`)."""
+    cfg = f"""
+name_prefix: smoke
+output_dir: {tmp_path}/out
+seed: 3
+use_2nd_stage: true
+video_ipadapter_params:
+  scale: [0.6]
+input_config:
+  public:
+    output_fps: 10
+  item_g:
+    prompt: "a tiny gen smoke test"
+    params:
+      max_num_chunks: 2
+"""
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(cfg)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    res = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "infer.py"),
+         "--config", str(cfg_path), "--smoke"],
+        capture_output=True, text=True, timeout=1200, env=env, cwd=_REPO)
+    assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-3000:]
+    out = sorted((tmp_path / "out").iterdir())[-1]
+    for suffix in ("tokens.npy", "orig.mp4", "fifo.mp4", "latents.npy"):
+        assert list(out.glob(f"*_{suffix}")), (suffix, sorted(os.listdir(out)))
+    lat = np.load(next(out.glob("*_latents.npy")))
+    assert np.isfinite(lat).all()
