@@ -131,7 +131,8 @@ def build_pipeline(cfg, smoke: bool):
         dit_params = {"params": graft_vip_params(dit_params["params"], dcfg)}
     if dcfg.fuse_qkv:
         from tokensgen_tpu.models.dit import fuse_qkv_params
-        dit_params = {"params": fuse_qkv_params(dit_params["params"])}
+        dit_params = {"params": fuse_qkv_params(dit_params["params"],
+                                                fuse_vip=dcfg.fuse_vip_qkv)}
     if dcfg.quant:
         from tokensgen_tpu.models.dit import quantize_dit_params
         dit_params = {"params": quantize_dit_params(dit_params["params"], dcfg)}

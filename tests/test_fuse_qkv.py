@@ -45,7 +45,9 @@ def test_graft_vip_on_fused_qkv():
     vc = VIPConfig(length=2 * 2 * 3, output_dim=24, num_temporal_queries=2,
                    num_height_queries=2, num_width_queries=3)
     cfg = DiTConfig.tiny(vip=vc)
-    cfg_f = DiTConfig.tiny(vip=vc, fuse_qkv=True)
+    # fuse_vip_qkv=True covers the fully-fused layout (the shipped default
+    # keeps vip unfused — measured slower on v5e, see DiTConfig)
+    cfg_f = DiTConfig.tiny(vip=vc, fuse_qkv=True, fuse_vip_qkv=True)
     rng = np.random.default_rng(1)
     f = 2
     hp, wp = cfg.sample_height // 2, cfg.sample_width // 2
@@ -73,7 +75,7 @@ def test_graft_vip_on_fused_qkv():
     out = model.apply({"params": grafted}, x, text, t,
                       vip_hidden_states=vip_tokens, **kwargs)
 
-    fused = fuse_qkv_params(params)
+    fused = fuse_qkv_params(params, fuse_vip=True)
     grafted_f = graft_vip_params(fused, cfg_f)
     # the vip branch fuses too: vip_to_qkv == concat(vip_to_q, vip_to_k,
     # vip_to_v) of the unfused graft
@@ -91,4 +93,13 @@ def test_graft_vip_on_fused_qkv():
     out_f = model_f.apply({"params": grafted_f}, x, text, t,
                           vip_hidden_states=vip_tokens, **kwargs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_f),
+                               rtol=1e-5, atol=1e-5)
+
+    # the SHIPPED layout: base fused, vip unfused (fuse_vip_qkv default)
+    cfg_s = DiTConfig.tiny(vip=vc, fuse_qkv=True)
+    grafted_s = graft_vip_params(fuse_qkv_params(params), cfg_s)
+    out_s = CogVideoXTransformer(cfg_s).apply(
+        {"params": grafted_s}, x, text, t,
+        vip_hidden_states=vip_tokens, **kwargs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_s),
                                rtol=1e-5, atol=1e-5)

@@ -107,6 +107,13 @@ class DiTConfig:
     # fused [S,3072]x[3072,9216] at ~131 TF/s. Convert params with
     # `fuse_qkv_params` / `unfuse_qkv_params`
     fuse_qkv: bool = False
+    # fuse the VIP branch's vip_to_{q,k,v} too. Default OFF even when
+    # fuse_qkv is on: measured on v5e, base-only fusion gives 7.14 s/step
+    # but fusing the vip projections too REGRESSES to 7.67 (vs 7.38
+    # unfused) — XLA already co-schedules the three same-operand vip
+    # projections, and the fused wide matmul over the concat operand loses
+    # that. PERF.md round 3.
+    fuse_vip_qkv: bool = False
     # tensor-parallel mesh axis: when set, attention ops shard_map themselves
     # over heads on this axis (see kernels/attention.py). Use together with
     # sharding/tp.py param specs and an ambient mesh (`jax.set_mesh`).
@@ -244,7 +251,8 @@ class JointVIPAttention(nn.Module):
             # one [3072, 9216] matmul instead of three [3072, 3072] ones when
             # cfg.fuse_qkv (the square shape underutilizes the MXU, see
             # DiTConfig.fuse_qkv)
-            if cfg.fuse_qkv:
+            fuse_this = cfg.fuse_qkv if not prefix else cfg.fuse_vip_qkv
+            if fuse_this:
                 fused = make_dense(3 * inner, quant=cfg.quant,
                                    use_bias=cfg.attention_bias, dtype=dt,
                                    name=prefix + "to_qkv")(operand)
@@ -628,18 +636,19 @@ _QKV_GROUPS = (
 )
 
 
-def fuse_qkv_params(params):
-    """to_q/to_k/to_v -> to_qkv and vip_to_q/k/v -> vip_to_qkv (concat along
-    the output dim), for a model built with ``fuse_qkv=True``
+def fuse_qkv_params(params, fuse_vip: bool = False):
+    """to_q/to_k/to_v -> to_qkv and (``fuse_vip``) vip_to_q/k/v -> vip_to_qkv
+    (concat along the output dim), for a model built with ``fuse_qkv=True``
     (`fuse_qkv_projections`, `cogvideox_transformer_3d.py:552-575`). Works on
     scan-stacked blocks."""
     import flax
 
+    groups = _QKV_GROUPS if fuse_vip else _QKV_GROUPS[:1]
     flat = flax.traverse_util.flatten_dict(params)
     out = {}
     done = set()
     for key, val in flat.items():
-        group = next((g for g in _QKV_GROUPS
+        group = next((g for g in groups
                       if len(key) >= 2 and key[-2] in g[0]), None)
         if group is None:
             out[key] = val
