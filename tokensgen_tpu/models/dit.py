@@ -247,19 +247,27 @@ class JointVIPAttention(nn.Module):
             return make_dense(inner, quant=cfg.quant,
                               use_bias=cfg.attention_bias, dtype=dt, name=name)
 
-        def qkv_proj(prefix, operand):
+        def qkv_proj(prefix, *segments):
             # one [3072, 9216] matmul instead of three [3072, 3072] ones when
-            # cfg.fuse_qkv (the square shape underutilizes the MXU, see
-            # DiTConfig.fuse_qkv)
+            # fused (the square shape underutilizes the MXU, see
+            # DiTConfig.fuse_qkv). The fused module is applied PER SEGMENT
+            # (row-wise identical) so the concatenated operand is never
+            # materialized as a wide-matmul input; XLA's simplifier folds the
+            # downstream slice(concat(outs)) back to the segments.
             fuse_this = cfg.fuse_qkv if not prefix else cfg.fuse_vip_qkv
             if fuse_this:
-                fused = make_dense(3 * inner, quant=cfg.quant,
-                                   use_bias=cfg.attention_bias, dtype=dt,
-                                   name=prefix + "to_qkv")(operand)
+                mod = make_dense(3 * inner, quant=cfg.quant,
+                                 use_bias=cfg.attention_bias, dtype=dt,
+                                 name=prefix + "to_qkv")
+                outs = [mod(s) for s in segments]
+                fused = (outs[0] if len(outs) == 1
+                         else jnp.concatenate(outs, axis=1))
                 return jnp.split(fused, 3, axis=-1)
-            return (dense(prefix + "to_q")(operand),
-                    dense(prefix + "to_k")(operand),
-                    dense(prefix + "to_v")(operand))
+            op = (segments[0] if len(segments) == 1
+                  else jnp.concatenate(segments, axis=1))
+            return (dense(prefix + "to_q")(op),
+                    dense(prefix + "to_k")(op),
+                    dense(prefix + "to_v")(op))
 
         def ln_params(name):
             if cfg.qk_norm:
@@ -285,8 +293,7 @@ class JointVIPAttention(nn.Module):
             la = ar.shape[1]
             lv = vip.shape[1]
             tv_len = text_video.shape[1]
-            allseq = jnp.concatenate([text_video, vip, ar], axis=1)
-            vq, vk, vv = qkv_proj("vip_", allseq)
+            vq, vk, vv = qkv_proj("vip_", text_video, vip, ar)
             vgq, vbq = ln_params("vip_norm_q")
             vgk, vbk = ln_params("vip_norm_k")
             # ar tokens take the leading temporal positions of the vip-image
@@ -335,8 +342,7 @@ class JointVIPAttention(nn.Module):
             tv_input = text_video if ft == "1" else text_video[:, text_len:]
             tv_len = tv_input.shape[1]
             lv = vip.shape[1]
-            both = jnp.concatenate([tv_input, vip], axis=1)
-            vq, vk, vv = qkv_proj("vip_", both)
+            vq, vk, vv = qkv_proj("vip_", tv_input, vip)
             vgq, vbq = ln_params("vip_norm_q")
             vgk, vbk = ln_params("vip_norm_k")
             # "1": text identity + video vip-image rope; "2"/"3": whole tv_input
