@@ -200,6 +200,41 @@ def test_packed_headpair_kernel_interpret_mode():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_packed_headpair_int8_scores_interpret_mode():
+    """int8 score-matmul turbo (quant_attn): the packed kernel with
+    int8_scores=True in interpreter mode vs the f32 XLA reference. int8
+    quantization of the qk-normed q/k adds ~1e-2-scale error on O(1)
+    outputs — in family with the bf16 kernel's own noise at production
+    shapes (PERF.md)."""
+    from tokensgen_tpu.kernels import attention as A
+
+    rng = np.random.default_rng(8)
+    b, h, sq, skv, d = 1, 4, 256, 512, 64
+    qm = jnp.asarray(rng.normal(size=(b, sq, h * d)).astype(np.float32))
+    km = jnp.asarray(rng.normal(size=(b, skv, h * d)).astype(np.float32))
+    vm = jnp.asarray(rng.normal(size=(b, skv, h * d)).astype(np.float32))
+    bias = np.zeros((b, skv), np.float32)
+    bias[0, skv - 17:] = -1e9  # key mask exercises the bias path
+    bias = jnp.asarray(bias)
+    g = jnp.asarray(np.abs(rng.normal(size=(d,))).astype(np.float32))
+    bq_ = jnp.asarray((0.1 * rng.normal(size=(d,))).astype(np.float32))
+    ang_q = rng.normal(size=(sq, d)).astype(np.float32)
+    ang_k = rng.normal(size=(skv, d)).astype(np.float32)
+    rope_q = (jnp.asarray(np.cos(ang_q)), jnp.asarray(np.sin(ang_q)))
+    rope_k = (jnp.asarray(np.cos(ang_k)), jnp.asarray(np.sin(ang_k)))
+    tq = A.make_prologue(d, [(rope_q, sq)], g, bq_, fold=d**-0.5)
+    tk = A.make_prologue(d, [(rope_k, skv)], g, bq_)
+    out = A._flash_fused_packed_tpu(qm, km, vm, bias, tq, tk, h, 128, 256,
+                                    True, 1e-6, True, True, interpret=True,
+                                    int8_scores=True)
+    ref = A._merge3(A._xla_attention_fused(
+        A._split3(qm, h), A._split3(km, h), A._split3(vm, h), bias, tq, tk,
+        1e-6, True, True))
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    assert err.max() < 6e-2, err.max()
+    assert err.mean() < 5e-3, err.mean()
+
+
 def test_cross_small_side_kernels_interpret_mode():
     """The pair-innermost cross-attention kernels (smallkv: tv->vip; smallq:
     vip->all) in interpreter mode against the XLA prologue+attention

@@ -589,8 +589,11 @@ def _flash_packed_kernel(
     ck_ref, sk_ref, ak_ref, rk_ref, mu_ref,
     *refs,
     has_bias: bool, block_kv: int, eps: float, norm_q: bool, norm_k: bool,
-    with_lse: bool = False, no_max: bool = False,
+    with_lse: bool = False, no_max: bool = False, int8_scores: bool = False,
 ):
+    qs_scr = ks_scr = None
+    if int8_scores:
+        refs, (qs_scr, ks_scr) = refs[:-2], refs[-2:]
     if with_lse:
         o_ref, lse_ref, m_scr, l_scr, acc_scr, qn_scr, kt_scr, v2_scr = refs
     else:
@@ -618,7 +621,7 @@ def _flash_packed_kernel(
         rot = jax.lax.dot_general(
             ln0, rg, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return (ln0 * cos_t + rot * sin_t + add_t).astype(q_ref.dtype)
+        return ln0 * cos_t + rot * sin_t + add_t  # f32
 
     @pl.when(j == 0)
     def _init():
@@ -626,19 +629,41 @@ def _flash_packed_kernel(
             m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
-        qn_scr[:] = prologue(q_ref[0], cq_ref[0], sq_ref[0], aq_ref[0],
-                             rq_ref[:], norm_q)
+        qn32 = prologue(q_ref[0], cq_ref[0], sq_ref[0], aq_ref[0],
+                        rq_ref[:], norm_q)
+        if int8_scores:
+            # per-row q scale (amortized: computed once per q block, reused
+            # across all kv steps); per-step dequant is a row-broadcast
+            # multiply folded into the score pass alongside the column one
+            qs = jnp.maximum(jnp.max(jnp.abs(qn32), axis=1, keepdims=True),
+                             1e-30)
+            qn_scr[:] = jnp.clip(jnp.round(qn32 * (127.0 / qs)),
+                                 -127.0, 127.0).astype(jnp.int8)
+            qs_scr[:, :1] = qs * (1.0 / 127.0)
+        else:
+            qn_scr[:] = qn32.astype(qn_scr.dtype)
 
     @pl.when(i == 0)
     def _prep_kv():
-        kn = prologue(k_ref[0], ck_ref[0], sk_ref[0], ak_ref[0],
-                      rk_ref[:], norm_k)  # [Bk, 128]
-        knt = kn.T  # [128, Bk]
+        kn32 = prologue(k_ref[0], ck_ref[0], sk_ref[0], ak_ref[0],
+                        rk_ref[:], norm_k)  # [Bk, 128] f32
+        if int8_scores:
+            knt32 = kn32.T  # [128, Bk]
+            # per kv-position (column) scale; both packed halves of a row
+            # were quantized jointly so both column groups share it
+            ksc = jnp.maximum(
+                jnp.max(jnp.abs(knt32), axis=0, keepdims=True), 1e-30)
+            knt = jnp.clip(jnp.round(knt32 * (127.0 / ksc)), -127.0, 127.0)
+            ks_scr[0:1, pl.ds(2 * j * block_kv, block_kv)] = ksc * (1.0 / 127.0)
+            ks_scr[0:1, pl.ds(2 * j * block_kv + block_kv, block_kv)] = (
+                ksc * (1.0 / 127.0))
+        else:
+            knt = kn32.astype(kt_scr.dtype).T  # [128, Bk]
         rows = jax.lax.broadcasted_iota(jnp.int32, knt.shape, 0)
         kt_scr[:, pl.ds(2 * j * block_kv, block_kv)] = jnp.where(
-            rows < dh, knt, 0).astype(knt.dtype)
+            rows < dh, knt, 0).astype(kt_scr.dtype)
         kt_scr[:, pl.ds(2 * j * block_kv + block_kv, block_kv)] = jnp.where(
-            rows >= dh, knt, 0).astype(knt.dtype)
+            rows >= dh, knt, 0).astype(kt_scr.dtype)
         v2 = v_ref[0]
         lanes = jax.lax.broadcasted_iota(jnp.int32, v2.shape, 1)
         v2_scr[pl.ds(2 * j * block_kv, block_kv), :] = jnp.where(
@@ -648,8 +673,12 @@ def _flash_packed_kernel(
 
     s2 = jax.lax.dot_general(
         qn_scr[:], kt_scr[:, pl.ds(2 * j * block_kv, 2 * block_kv)],
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32 if int8_scores else jnp.float32,
     )  # [Bq, 2*Bk] = [sA | sB], log2 domain
+    if int8_scores:
+        cf = ks_scr[0:1, pl.ds(2 * j * block_kv, 2 * block_kv)]
+        s2 = s2.astype(jnp.float32) * qs_scr[:, :1] * cf
     bias = bias_ref[0, 0][None, :] if has_bias else None
     lanes = jax.lax.broadcasted_iota(jnp.int32, acc_scr.shape, 1)
     ps = []
@@ -731,12 +760,13 @@ def _pack_tabs(tabs):
 @functools.partial(
     jax.jit,
     static_argnames=("heads", "block_q", "block_kv", "has_bias", "eps",
-                     "norm_q", "norm_k", "interpret", "with_lse"))
+                     "norm_q", "norm_k", "interpret", "with_lse",
+                     "int8_scores"))
 def _flash_fused_packed_tpu(
     q, k, v, key_bias, tabs_q, tabs_k, heads: int,
     block_q: int, block_kv: int, has_bias: bool, eps: float,
     norm_q: bool, norm_k: bool, interpret: bool = False,
-    with_lse: bool = False,
+    with_lse: bool = False, int8_scores: bool = False,
 ):
     """q/k/v: merged [B, S, H*D]; returns [B, Sq, H*D] (+ row-layout lse)."""
     b, sq, hd = q.shape
@@ -816,11 +846,24 @@ def _flash_fused_packed_tpu(
             (1, 1, block_q, d2), lambda b_, h_, i, j: (b_, h_, i, 0)))
         out_shapes = (out_shapes,
                       jax.ShapeDtypeStruct((b, hp, sq_p, d2), jnp.float32))
+    assert not (with_lse and int8_scores), (
+        "int8_scores is the inference turbo path; training keeps bf16")
+    scratch_shapes = [
+        pltpu.VMEM((2, block_q, _LANES), jnp.float32),
+        pltpu.VMEM((2, block_q, _LANES), jnp.float32),
+        pltpu.VMEM((block_q, d2), jnp.float32),
+        pltpu.VMEM((block_q, d2), jnp.int8 if int8_scores else q.dtype),
+        pltpu.VMEM((d2, 2 * skv_p), jnp.int8 if int8_scores else q.dtype),
+        pltpu.VMEM((2 * skv_p, d2), q.dtype),
+    ]
+    if int8_scores:
+        scratch_shapes += [pltpu.VMEM((block_q, _LANES), jnp.float32),
+                           pltpu.VMEM((1, 2 * skv_p), jnp.float32)]
     res = pl.pallas_call(
         functools.partial(
             _flash_packed_kernel, has_bias=has_bias, block_kv=block_kv,
             eps=eps, norm_q=norm_q, norm_k=norm_k, with_lse=with_lse,
-            no_max=no_max),
+            no_max=no_max, int8_scores=int8_scores),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d2), lambda b_, h_, i, j: (b_, i, h_)),
@@ -841,14 +884,7 @@ def _flash_fused_packed_tpu(
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((2, block_q, _LANES), jnp.float32),
-            pltpu.VMEM((2, block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, d2), jnp.float32),
-            pltpu.VMEM((block_q, d2), q.dtype),
-            pltpu.VMEM((d2, 2 * skv_p), q.dtype),
-            pltpu.VMEM((2 * skv_p, d2), q.dtype),
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -1418,12 +1454,15 @@ def _merge3(x):
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def _flash_packed_diff(heads, block_q, block_kv, has_bias, eps, norm_q, norm_k,
-                       q, k, v, key_bias, tabs_q, tabs_k):
+                       int8_scores, q, k, v, key_bias, tabs_q, tabs_k):
     """Packed head-pair kernel with gradients (merged [B, S, H*D] operands);
     backward recomputes the prologue in XLA on the 4-D view and chains
-    `_blocked_attention_bwd` — identical math to `_flash_fused_diff`."""
+    `_blocked_attention_bwd` — identical math to `_flash_fused_diff`.
+
+    ``int8_scores`` quantizes the score matmul to int8 (inference primal
+    only; under jax.grad the bf16 lse-producing forward runs instead)."""
     # inference primal only (under jax.grad the custom_vjp fwd below runs
     # instead): route one-tiny-side cross shapes to the specialized
     # pair-innermost kernels — the VIP branches' tv->vip / vip->all calls
@@ -1437,11 +1476,11 @@ def _flash_packed_diff(heads, block_q, block_kv, has_bias, eps, norm_q, norm_k,
                                            heads, 2048, eps, norm_q, norm_k)
     return _flash_fused_packed_tpu(q, k, v, key_bias, tabs_q, tabs_k, heads,
                                    block_q, block_kv, has_bias, eps,
-                                   norm_q, norm_k)
+                                   norm_q, norm_k, int8_scores=int8_scores)
 
 
 def _packed_diff_fwd(heads, block_q, block_kv, has_bias, eps, norm_q, norm_k,
-                     q, k, v, key_bias, tabs_q, tabs_k):
+                     int8_scores, q, k, v, key_bias, tabs_q, tabs_k):
     out, lse = _flash_fused_packed_tpu(q, k, v, key_bias, tabs_q, tabs_k,
                                        heads, block_q, block_kv, has_bias,
                                        eps, norm_q, norm_k, with_lse=True)
@@ -1449,7 +1488,7 @@ def _packed_diff_fwd(heads, block_q, block_kv, has_bias, eps, norm_q, norm_k,
 
 
 def _packed_diff_bwd(heads, block_q, block_kv, has_bias, eps, norm_q, norm_k,
-                     res, g):
+                     int8_scores, res, g):
     import os
 
     q, k, v, key_bias, tabs_q, tabs_k, out, lse = res
@@ -1498,8 +1537,14 @@ def fused_flash_attention(
     block_q: int = 1024,
     block_kv: int = 1024,
     tp_axis: Optional[str] = None,
+    int8_scores: bool = False,
 ) -> jnp.ndarray:
     """Attention with the qk-norm + RoPE prologue fused into the kernel.
+
+    ``int8_scores``: quantize the score matmul to int8 (per-q-block scalar +
+    per-kv-column dynamic scales; the qk-norm prologue uniformizes row norms
+    so coarse scales lose little). Inference-only serving turbo — gradients
+    and the non-packed fallbacks keep bf16 scores.
 
     Operands are either 4-D [B, H, S, D] or merged 3-D [B, S, H*D] (pass
     ``heads``; preferred — the merged layout avoids the 2x lane padding of a
@@ -1539,17 +1584,17 @@ def fused_flash_attention(
         return jax.shard_map(
             lambda q_, k_, v_, bias_, tq_, tk_: _fused_dispatch(
                 q_, k_, v_, bias_, tq_, tk_, h_local, has_bias, eps,
-                norm_q, norm_k, block_q, block_kv),
+                norm_q, norm_k, block_q, block_kv, int8_scores),
             in_specs=(hs, hs, hs, P(None, None)) + tuple(ts),
             out_specs=hs,
         )(q, k, v, key_bias, tabs_q, tabs_k)
     return _fused_dispatch(q, k, v, key_bias, tabs_q, tabs_k,
                            heads if merged else None, has_bias, eps,
-                           norm_q, norm_k, block_q, block_kv)
+                           norm_q, norm_k, block_q, block_kv, int8_scores)
 
 
 def _fused_dispatch(q, k, v, key_bias, tabs_q, tabs_k, heads, has_bias, eps,
-                    norm_q, norm_k, block_q, block_kv):
+                    norm_q, norm_k, block_q, block_kv, int8_scores=False):
     merged = heads is not None
     if merged:
         sq, skv = q.shape[1], k.shape[1]
@@ -1566,8 +1611,8 @@ def _fused_dispatch(q, k, v, key_bias, tabs_q, tabs_k, heads, has_bias, eps,
         if on_tpu and heads % 2 == 0 and (2 * d) % _LANES == 0:
             bq = min(2 * block_q, _round_up(sq, 128))
             return _flash_packed_diff(heads, bq, bkv, has_bias, eps,
-                                      norm_q, norm_k, q, k, v, key_bias,
-                                      tabs_q, tabs_k)
+                                      norm_q, norm_k, int8_scores,
+                                      q, k, v, key_bias, tabs_q, tabs_k)
         q, k, v = _split3(q, heads), _split3(k, heads), _split3(v, heads)
         if on_tpu:
             out = _flash_fused_diff(bq, bkv, has_bias, eps, norm_q, norm_k,

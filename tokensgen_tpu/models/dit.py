@@ -129,6 +129,10 @@ class DiTConfig:
     # tree with `quantize_dit_params` AFTER any `graft_vip_params` /
     # `fuse_qkv_params` transforms.
     quant: Optional[str] = None
+    # int8 score matmul inside the packed flash-attention kernel (dynamic
+    # per-q-block/per-kv-column scales). Part of the labeled int8 serving
+    # turbo alongside quant="w8a8"; inference-only (gradients stay bf16).
+    quant_attn: bool = False
 
     @property
     def inner_dim(self) -> int:
@@ -241,7 +245,8 @@ class JointVIPAttention(nn.Module):
             # padding; dispatches to the packed head-pair kernel on TPU
             return fused_flash_attention(
                 q_, k_, v_, tq_, tk_, heads=heads, norm_q=cfg.qk_norm,
-                norm_k=cfg.qk_norm, tp_axis=cfg.tp_axis, **kw)
+                norm_k=cfg.qk_norm, tp_axis=cfg.tp_axis,
+                int8_scores=cfg.quant_attn, **kw)
 
         def dense(name):
             return make_dense(inner, quant=cfg.quant,
