@@ -50,12 +50,14 @@ def measure(layers: int, use_vip: bool, cfg_batched: bool = True,
     fuse = os.environ.get("BENCH_FUSE_QKV", "1") == "1"
     fuse_vip = os.environ.get("BENCH_FUSE_VIP_QKV", "0") == "1"
     quant = os.environ.get("BENCH_QUANT") or None  # w8a16|w8a8: labeled turbo
-    if quant:
-        log(f"NOTE: BENCH_QUANT={quant} — int8 serving mode, NOT a baseline-"
-            f"parity configuration; headline numbers stay bf16")
+    quant_attn = os.environ.get("BENCH_QUANT_ATTN", "0") == "1"
+    if quant or quant_attn:
+        log(f"NOTE: BENCH_QUANT={quant} BENCH_QUANT_ATTN={int(quant_attn)} — "
+            f"int8 serving mode, NOT a baseline-parity configuration; "
+            f"headline numbers stay bf16")
     cfg = DiTConfig.cogvideox_5b(num_layers=layers, vip=vc, ff_chunks=ff_chunks,
                                  fuse_qkv=fuse, fuse_vip_qkv=fuse_vip,
-                                 quant=quant)
+                                 quant=quant, quant_attn=quant_attn)
     b, f, h, w = 1, 13, 60, 90
     hp, wp = h // 2, w // 2
     d = cfg.attention_head_dim
