@@ -48,6 +48,34 @@ def test_input_items_public_merge(tmp_path):
     assert by_name["item_a"]["prompt"] == "hi"
 
 
+def test_input_items_external_json(tmp_path):
+    """`input_config.input_json` loads extra items from a JSON file that
+    extend/override the in-config ones (`infer_cogvideo_mp_fifo.py:238-242`)."""
+    import json
+
+    j = tmp_path / "items.json"
+    j.write_text(json.dumps({"input_config": {
+        "item_b": {"prompt": "override", "params": {"fps": 30}},
+        "item_c": {"prompt": "new", "video": "c.mp4"},
+    }}))
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump({
+        "input_config": {
+            "public": {"fps": 10},
+            "input_json": str(j),
+            "item_a": {"prompt": "hi"},
+            "item_b": {"prompt": "old"},
+        }
+    }))
+    items = input_items(load_config(str(p)))
+    by_name = {it["name"]: it for it in items}
+    assert set(by_name) == {"item_a", "item_b", "item_c"}
+    assert by_name["item_b"]["prompt"] == "override"
+    assert by_name["item_b"]["fps"] == 30
+    assert by_name["item_c"]["video"] == "c.mp4"
+    assert by_name["item_a"]["fps"] == 10  # public still applies
+
+
 def test_create_output_folders_archives_config(tmp_path):
     import os
 

@@ -66,12 +66,21 @@ def merge(base: Dict, override: Dict) -> Config:
 
 def input_items(cfg: Config) -> List[Config]:
     """Expand `input_config`: `public` defaults merged with each item's `params`
-    (`infer_cogvideo_mp_fifo.py:236-259`)."""
+    (`infer_cogvideo_mp_fifo.py:236-259`). An `input_json: <path>` key loads an
+    external JSON file whose `input_config` items extend/override the in-config
+    ones (`infer_cogvideo_mp_fifo.py:238-242`)."""
+    import json
+
     ic = cfg.get("input_config", Config())
     public = ic.get("public", Config())
+    items_json = ic.get("input_json")
+    if items_json:
+        with open(items_json) as f:
+            ext = json.load(f)
+        ic = merge(ic, ext.get("input_config") or {})
     items = []
     for name, item in ic.items():
-        if name == "public" or not isinstance(item, dict):
+        if name in ("public", "input_json") or not isinstance(item, dict):
             continue
         params = item.get("params", Config())
         merged = merge(public, params)
