@@ -88,7 +88,7 @@ class Adam8bitState(NamedTuple):
 
 
 def adamw_8bit(
-    learning_rate: float,
+    learning_rate,  # float or optax schedule (callable of the step count)
     b1: float = 0.9,
     b2: float = 0.95,
     eps: float = 1e-8,
@@ -119,6 +119,7 @@ def adamw_8bit(
     def update(grads, state, params):
         count = state.count + 1
         c = count.astype(jnp.float32)
+        lr = learning_rate(state.count) if callable(learning_rate) else learning_rate
 
         def upd(g, mu_q, nu_q, p):
             g = g.astype(jnp.float32)
@@ -133,7 +134,7 @@ def adamw_8bit(
                 step = step + weight_decay * p.astype(jnp.float32)
             new_mu = _quantize(mu) if isinstance(mu_q, _Q) else mu
             new_nu = _quantize_log(nu) if isinstance(nu_q, _QLog) else nu
-            return (-learning_rate * step).astype(p.dtype), new_mu, new_nu
+            return (-lr * step).astype(p.dtype), new_mu, new_nu
 
         flat_g, treedef = jax.tree_util.tree_flatten(grads)
         flat_mu = treedef.flatten_up_to(state.mu)

@@ -33,7 +33,12 @@ from tokensgen_tpu.train import objective
 
 @dataclasses.dataclass(frozen=True)
 class T2ToTrainConfig:
+    optimizer: str = "adamw"  # adam | adamw | prodigy (`get_optimizer`)
+    use_8bit_adam: bool = False  # T2To reference config trains full-precision
     learning_rate: float = 3e-4
+    lr_scheduler: str = "constant"  # diffusers get_scheduler names
+    lr_warmup_steps: int = 0
+    max_train_steps: int = 1000
     weight_decay: float = 1e-4
     adam_beta1: float = 0.9
     adam_beta2: float = 0.95
@@ -77,10 +82,16 @@ def padded_chunk_masks(valid_frames: jnp.ndarray, num_frames: int, hw: int,
 
 
 def make_optimizer(cfg: T2ToTrainConfig) -> optax.GradientTransformation:
+    from tokensgen_tpu.train import optim
+
+    lr = optim.lr_schedule(cfg.lr_scheduler, cfg.learning_rate,
+                           cfg.lr_warmup_steps, cfg.max_train_steps)
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(cfg.learning_rate, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
-                    eps=cfg.adam_eps, weight_decay=cfg.weight_decay),
+        optim.base_optimizer(cfg.optimizer, lr, b1=cfg.adam_beta1,
+                             b2=cfg.adam_beta2, eps=cfg.adam_eps,
+                             weight_decay=cfg.weight_decay,
+                             use_8bit=cfg.use_8bit_adam),
     )
 
 

@@ -33,7 +33,11 @@ from tokensgen_tpu.train import objective
 @dataclasses.dataclass(frozen=True)
 class To2VTrainConfig:
     use_8bit_adam: bool = True  # reference default (`use_8bit_adam: true`)
+    optimizer: str = "adamw"  # adam | adamw | prodigy (`get_optimizer`)
     learning_rate: float = 2e-4
+    lr_scheduler: str = "constant"  # diffusers get_scheduler names
+    lr_warmup_steps: int = 0
+    max_train_steps: int = 1000  # decay horizon for non-constant schedules
     weight_decay: float = 1e-4
     adam_beta1: float = 0.9
     adam_beta2: float = 0.95
@@ -88,14 +92,14 @@ def partition_params(params: Dict):
 
 
 def make_optimizer(params: Dict, cfg: To2VTrainConfig) -> optax.GradientTransformation:
-    if cfg.use_8bit_adam:
-        from tokensgen_tpu.train.adam8bit import adamw_8bit
+    from tokensgen_tpu.train import optim
 
-        inner = adamw_8bit(cfg.learning_rate, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
-                           eps=cfg.adam_eps, weight_decay=cfg.weight_decay)
-    else:
-        inner = optax.adamw(cfg.learning_rate, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
-                            eps=cfg.adam_eps, weight_decay=cfg.weight_decay)
+    lr = optim.lr_schedule(cfg.lr_scheduler, cfg.learning_rate,
+                           cfg.lr_warmup_steps, cfg.max_train_steps)
+    inner = optim.base_optimizer(
+        cfg.optimizer, lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+        eps=cfg.adam_eps, weight_decay=cfg.weight_decay,
+        use_8bit=cfg.use_8bit_adam)
     adamw = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), inner)
     return optax.multi_transform(
         {"train": adamw, "freeze": optax.set_to_zero()}, trainable_labels(params)

@@ -67,6 +67,11 @@ def main():
         beta_schedule=cfg.get("beta_schedule", "vip_1")))
     tcfg = t2to.T2ToTrainConfig(
         learning_rate=cfg.get("learning_rate", 3e-4),
+        optimizer=cfg.get("optimizer", "adamw"),
+        use_8bit_adam=cfg.get("use_8bit_adam", False),
+        lr_scheduler=cfg.get("lr_scheduler", "constant"),
+        lr_warmup_steps=cfg.get("lr_warmup_steps", 0),
+        max_train_steps=cfg.get("max_train_steps", 100),
         num_processes=jax.device_count(),
     )
 

@@ -91,6 +91,10 @@ def main():
         learning_rate=cfg.get("learning_rate", 2e-4),
         diff_timesteps_ratio=cfg.get("diff_timesteps_ratio", 0.4),
         use_8bit_adam=cfg.get("use_8bit_adam", True),
+        optimizer=cfg.get("optimizer", "adamw"),
+        lr_scheduler=cfg.get("lr_scheduler", "constant"),
+        lr_warmup_steps=cfg.get("lr_warmup_steps", 0),
+        max_train_steps=cfg.get("max_train_steps", 1000),
         num_processes=jax.device_count(),
     )
     accum = cfg.get("gradient_accumulation_steps", 1)
