@@ -38,6 +38,8 @@ class T2ToTrainConfig:
     learning_rate: float = 3e-4
     lr_scheduler: str = "constant"  # diffusers get_scheduler names
     lr_warmup_steps: int = 0
+    lr_num_cycles: int = 1
+    lr_power: float = 1.0
     max_train_steps: int = 1000
     weight_decay: float = 1e-4
     adam_beta1: float = 0.9
@@ -85,7 +87,8 @@ def make_optimizer(cfg: T2ToTrainConfig) -> optax.GradientTransformation:
     from tokensgen_tpu.train import optim
 
     lr = optim.lr_schedule(cfg.lr_scheduler, cfg.learning_rate,
-                           cfg.lr_warmup_steps, cfg.max_train_steps)
+                           cfg.lr_warmup_steps, cfg.max_train_steps,
+                           num_cycles=cfg.lr_num_cycles, power=cfg.lr_power)
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optim.base_optimizer(cfg.optimizer, lr, b1=cfg.adam_beta1,

@@ -37,6 +37,8 @@ class To2VTrainConfig:
     learning_rate: float = 2e-4
     lr_scheduler: str = "constant"  # diffusers get_scheduler names
     lr_warmup_steps: int = 0
+    lr_num_cycles: int = 1  # cosine_with_restarts (`--lr_num_cycles`)
+    lr_power: float = 1.0  # polynomial (`--lr_power`)
     max_train_steps: int = 1000  # decay horizon for non-constant schedules
     weight_decay: float = 1e-4
     adam_beta1: float = 0.9
@@ -95,7 +97,8 @@ def make_optimizer(params: Dict, cfg: To2VTrainConfig) -> optax.GradientTransfor
     from tokensgen_tpu.train import optim
 
     lr = optim.lr_schedule(cfg.lr_scheduler, cfg.learning_rate,
-                           cfg.lr_warmup_steps, cfg.max_train_steps)
+                           cfg.lr_warmup_steps, cfg.max_train_steps,
+                           num_cycles=cfg.lr_num_cycles, power=cfg.lr_power)
     inner = optim.base_optimizer(
         cfg.optimizer, lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
         eps=cfg.adam_eps, weight_decay=cfg.weight_decay,

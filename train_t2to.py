@@ -71,9 +71,17 @@ def main():
         use_8bit_adam=cfg.get("use_8bit_adam", False),
         lr_scheduler=cfg.get("lr_scheduler", "constant"),
         lr_warmup_steps=cfg.get("lr_warmup_steps", 0),
+        lr_num_cycles=cfg.get("lr_num_cycles", 1),
+        lr_power=cfg.get("lr_power", 1.0),
         max_train_steps=cfg.get("max_train_steps", 100),
         num_processes=jax.device_count(),
     )
+    if cfg.get("scale_lr"):
+        import dataclasses as _dc
+        tcfg = _dc.replace(
+            tcfg, learning_rate=tcfg.learning_rate
+            * cfg.get("gradient_accumulation_steps", 1)
+            * cfg.get("per_gpu_batch_size", 1) * jax.device_count())
 
     # PCA / mean / std (fit here in smoke mode; load converted artifacts otherwise)
     rng_np = np.random.default_rng(cfg.get("seed", 42))

@@ -94,11 +94,18 @@ def main():
         optimizer=cfg.get("optimizer", "adamw"),
         lr_scheduler=cfg.get("lr_scheduler", "constant"),
         lr_warmup_steps=cfg.get("lr_warmup_steps", 0),
+        lr_num_cycles=cfg.get("lr_num_cycles", 1),
+        lr_power=cfg.get("lr_power", 1.0),
         max_train_steps=cfg.get("max_train_steps", 1000),
         num_processes=jax.device_count(),
     )
     accum = cfg.get("gradient_accumulation_steps", 1)
     batch_size = cfg.get("per_gpu_batch_size", 1) * jax.device_count()  # global
+    if cfg.get("scale_lr"):
+        # `--scale_lr`: lr *= accum * per-device batch * ranks (`:1441-1444`)
+        import dataclasses as _dc
+        tcfg = _dc.replace(tcfg, learning_rate=tcfg.learning_rate * accum
+                           * cfg.get("per_gpu_batch_size", 1) * jax.device_count())
     max_chunks = cfg.get_path("train_data_params.max_num_chunks", 2)
 
     # --- params ---
