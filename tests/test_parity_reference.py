@@ -673,3 +673,51 @@ def test_dit_forward_parity_vip_variants(func_type):
         vip_condition_rotary_emb=_jnp_rope(vip_cond_rope))
     assert np.asarray(got).shape == tuple(ref_out.shape)
     np.testing.assert_allclose(np.asarray(got), ref_out.numpy(), atol=2e-4)
+
+
+def test_dit_forward_parity_fused_processor():
+    """Reference `FusedCogVideoXAttnProcessor2_0` (`attention_processor.py:
+    2663-2733`) as oracle: fuse each block's to_q/k/v into a single to_qkv
+    Linear (what diffusers `fuse_qkv_projections` produces), swap the
+    processor, and compare against our `fuse_qkv=True` path fed by
+    `fuse_qkv_params(convert_dit(...))`."""
+    ref_tx = shim.load_reference_transformer()
+    ref_ap = shim.sys.modules["longvgen.models.attention_processor"]
+
+    from tokensgen_tpu.convert.torch_weights import convert_dit
+    from tokensgen_tpu.models.dit import (
+        CogVideoXTransformer, DiTConfig, fuse_qkv_params)
+
+    tm = _ref_tiny_transformer(ref_tx)
+    cfg = DiTConfig.tiny()
+    params = convert_dit({k: v.numpy() for k, v in tm.state_dict().items()}, cfg)
+
+    # fuse the reference in place: concatenated [q;k;v] Linear + processor swap
+    for block in tm.transformer_blocks:
+        attn = block.attn1
+        w = torch.cat([attn.to_q.weight, attn.to_k.weight, attn.to_v.weight], 0)
+        b_ = torch.cat([attn.to_q.bias, attn.to_k.bias, attn.to_v.bias], 0)
+        attn.to_qkv = torch.nn.Linear(w.shape[1], w.shape[0])
+        with torch.no_grad():
+            attn.to_qkv.weight.copy_(w)
+            attn.to_qkv.bias.copy_(b_)
+        attn.set_processor(ref_ap.FusedCogVideoXAttnProcessor2_0())
+    tm.eval()
+
+    b, f, h, w = 2, 2, cfg.sample_height, cfg.sample_width
+    x = _rand((b, f, 16, h, w), 50)
+    text = _rand((b, cfg.max_text_seq_length, cfg.text_embed_dim), 51)
+    t_np = np.array([10, 900], dtype=np.int64)
+    rope = _rope_tuple(cfg.attention_head_dim, np.arange(f),
+                       np.arange(h // 2), np.arange(w // 2))
+
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x), torch.from_numpy(text),
+                     torch.from_numpy(t_np), image_rotary_emb=rope,
+                     return_dict=False)[0]
+
+    cfg_f = DiTConfig.tiny(fuse_qkv=True)
+    got = CogVideoXTransformer(cfg_f).apply(
+        {"params": fuse_qkv_params(params)}, jnp.asarray(x), jnp.asarray(text),
+        jnp.asarray(t_np), image_rotary_emb=_jnp_rope(rope))
+    np.testing.assert_allclose(np.asarray(got), ref_out.numpy(), atol=2e-4)
