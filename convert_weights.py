@@ -39,26 +39,16 @@ def _load_dir_safetensors(d):
 
 
 def _save_tree(path, tree):
-    import flax
+    from tokensgen_tpu.convert.safetensors_io import save_param_tree
 
-    from tokensgen_tpu.convert.safetensors_io import save_safetensors
-
-    flat = {
-        "/".join(map(str, k)): np.asarray(v, np.float32)
-        for k, v in flax.traverse_util.flatten_dict(tree).items()
-    }
-    save_safetensors(path, flat)
-    return len(flat)
+    return save_param_tree(path, tree)
 
 
 def load_tree(path):
     """Inverse of `_save_tree` (used by infer.py / trainers)."""
-    import flax
+    from tokensgen_tpu.convert.safetensors_io import load_param_tree
 
-    from tokensgen_tpu.convert.safetensors_io import load_safetensors
-
-    flat = {tuple(k.split("/")): v for k, v in load_safetensors(path).items()}
-    return flax.traverse_util.unflatten_dict(flat)
+    return load_param_tree(path)
 
 
 def main():

@@ -24,6 +24,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _load_converted(cfg, name):
+    """`converted_weights_dir`: a directory of `convert_weights.py` outputs
+    (`{to2v_dit,t2to_dit,resampler,vae,t5}.safetensors`, our param layout).
+    Returns the param tree for `name` or None when absent/unconfigured."""
+    conv_dir = cfg.get("converted_weights_dir")
+    if not conv_dir:
+        return None
+    path = os.path.join(conv_dir, name + ".safetensors")
+    if not os.path.isfile(path):
+        return None
+    from tokensgen_tpu.convert.safetensors_io import load_param_tree
+
+    tree = load_param_tree(path)
+    print(f"loaded converted {name} weights from {path}", flush=True)
+    return tree
+
+
 def build_pipeline(cfg, smoke: bool):
     import jax
     import jax.numpy as jnp
@@ -92,15 +109,23 @@ def build_pipeline(cfg, smoke: bool):
     # weights: converted checkpoints when configured, random init otherwise
     ckpt = cfg.get("pretrained_model_name_or_path")
     vae_model = AutoencoderKLCogVideoX(vcfg)
-    vae_params = vae_model.init(
-        r1, jnp.zeros((1, pcfg.num_frames_per_chunk, pcfg.height, pcfg.width, 3)))
+    vae_tree = _load_converted(cfg, "vae")
+    if vae_tree is not None:
+        vae_params = {"params": vae_tree}
+    else:
+        vae_params = vae_model.init(
+            r1, jnp.zeros((1, pcfg.num_frames_per_chunk, pcfg.height, pcfg.width, 3)))
     vae = VAERunner(vcfg, vae_params, use_tiling=not smoke)
 
     rs = Resampler(rcfg)
     hp = pcfg.height // 8 // dcfg.patch_size
     wp = pcfg.width // 8 // dcfg.patch_size
-    rs_params = rs.init(
-        r2, jnp.zeros((1, pcfg.nf_latent, hp * wp, rcfg.embedding_dim)))
+    rs_tree = _load_converted(cfg, "resampler")
+    if rs_tree is not None:
+        rs_params = {"params": rs_tree}
+    else:
+        rs_params = rs.init(
+            r2, jnp.zeros((1, pcfg.nf_latent, hp * wp, rcfg.embedding_dim)))
 
     from tokensgen_tpu.core.rope import get_3d_rotary_pos_embed_v2
     d = dcfg.attention_head_dim
@@ -122,7 +147,11 @@ def build_pipeline(cfg, smoke: bool):
         vip_condition_rotary_emb=get_3d_rotary_pos_embed_v2(
             d, np.arange(n_vip), np.arange(vc.num_height_queries), np.arange(vc.num_width_queries)),
     )
-    if ckpt and os.path.isdir(ckpt):
+    dit_tree = _load_converted(cfg, "to2v_dit")
+    if dit_tree is not None:
+        # convert_weights.py output already carries the vip.pt overlay — no graft
+        dit_params = {"params": dit_tree}
+    elif ckpt and os.path.isdir(ckpt):
         from tokensgen_tpu.convert.safetensors_io import load_safetensors
         from tokensgen_tpu.convert.torch_weights import convert_dit
         sd = {}

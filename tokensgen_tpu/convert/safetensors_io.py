@@ -67,3 +67,25 @@ def save_safetensors(path: str, tensors: Dict[str, np.ndarray]) -> None:
         f.write(hjson)
         for blob in blobs:
             f.write(blob)
+
+
+def save_param_tree(path: str, tree) -> int:
+    """Flax param tree -> one safetensors file ("/"-joined key paths, f32).
+    The on-disk format `convert_weights.py` produces and the entry points'
+    ``converted_weights_dir`` consumes. Returns the tensor count."""
+    import flax
+
+    flat = {
+        "/".join(map(str, k)): np.asarray(v, np.float32)
+        for k, v in flax.traverse_util.flatten_dict(tree).items()
+    }
+    save_safetensors(path, flat)
+    return len(flat)
+
+
+def load_param_tree(path: str):
+    """Inverse of :func:`save_param_tree`."""
+    import flax
+
+    flat = {tuple(k.split("/")): v for k, v in load_safetensors(path).items()}
+    return flax.traverse_util.unflatten_dict(flat)
