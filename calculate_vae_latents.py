@@ -19,6 +19,9 @@ import numpy as np
 
 
 def main():
+    from tokensgen_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # make JAX_PLATFORMS effective despite the pinned plugin
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--num-shards", type=int, default=1)
@@ -47,9 +50,43 @@ def main():
         width = cfg.get_path("train_data_params.width", 720)
         nf_px = cfg.get_path("train_data_params.chunk_size", 49)
 
+    # VAE weights: `vae_checkpoint` may be a convert_weights.py export
+    # (vae.safetensors, our layout) or an HF torch `CogVideoX-5b/vae` dir.
+    # A configured-but-missing path must FAIL in a non-smoke run — random-init
+    # latents written as T2To training data would be silent garbage.
+    vae_ckpt = cfg.get("vae_checkpoint")
+    vae_params = None
+    if vae_ckpt and not args.smoke:
+        if os.path.isfile(vae_ckpt):
+            from tokensgen_tpu.convert.safetensors_io import load_param_tree
+
+            vae_params = {"params": load_param_tree(vae_ckpt)}
+        elif os.path.isdir(vae_ckpt):
+            from tokensgen_tpu.convert.safetensors_io import load_safetensors
+            from tokensgen_tpu.convert.torch_weights import convert_vae
+
+            sd = {}
+            for name in sorted(os.listdir(vae_ckpt)):
+                if name.endswith(".safetensors"):
+                    sd.update(load_safetensors(os.path.join(vae_ckpt, name)))
+            if not sd:
+                raise FileNotFoundError(
+                    f"vae_checkpoint dir has no .safetensors: {vae_ckpt}")
+            vae_params = {"params": convert_vae(sd, vcfg)}
+        else:
+            raise FileNotFoundError(
+                f"vae_checkpoint not found: {vae_ckpt} (unset the key or fix "
+                "the path — random-VAE latents are not usable training data)")
+        print(f"loaded VAE weights from {vae_ckpt}", flush=True)
+    elif not args.smoke:
+        raise ValueError(
+            "no `vae_checkpoint` configured: non-smoke latent precompute "
+            "requires converted CogVideoX VAE weights (--smoke runs "
+            "random-init for pipeline tests)")
     vae_model = AutoencoderKLCogVideoX(vcfg)
-    vae_params = vae_model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, nf_px, height, width, 3)))
+    if vae_params is None:
+        vae_params = vae_model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, nf_px, height, width, 3)))
     vae = VAERunner(vcfg, vae_params)
 
     ds = MiraDataset(
@@ -81,7 +118,9 @@ def main():
         index = item["video_index"]
         shard_dir = os.path.join(out_dir, f"{index // 1000:09d}")
         os.makedirs(shard_dir, exist_ok=True)
-        np.save(os.path.join(shard_dir, f"{index}_vae_c{chunks:02d}.npy"), lat_all)
+        # f16 on disk (halves the store; VAEMiraDataset re-casts to f32)
+        np.save(os.path.join(shard_dir, f"{index}_vae_c{chunks:02d}.npy"),
+                lat_all.astype(np.float16))
         print(f"[{i}] video {index}: {lat_all.shape} saved", flush=True)
 
         if args.fit_stats:

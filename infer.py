@@ -18,6 +18,7 @@ Outputs per item: source/orig/fifo MP4s + token arrays, as the reference exports
 import argparse
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -39,6 +40,51 @@ def _load_converted(cfg, name):
     tree = load_param_tree(path)
     print(f"loaded converted {name} weights from {path}", flush=True)
     return tree
+
+
+def _tree_has_vip(tree) -> bool:
+    """True when any key in the nested param tree belongs to the VIP branch."""
+    if isinstance(tree, dict):
+        return any(
+            ("vip" in str(k)) or _tree_has_vip(v) for k, v in tree.items())
+    return False
+
+
+def build_text_encoder(cfg, smoke: bool):
+    """The real T5 whenever a checkpoint is configured; the sha256 hash encoder
+    only under --smoke or an explicit `allow_hash_text_encoder: true`.
+
+    Checkpoint resolution order: `converted_weights_dir/t5.safetensors` ->
+    `pretrained_text_encoder_path` -> `<pretrained_model_name_or_path>/
+    text_encoder` (the CogVideoX-5b layout). The tokenizer comes from
+    `pretrained_tokenizer_path`, the weights dir itself, or the sibling
+    `tokenizer/` dir."""
+    from tokensgen_tpu.models.dit import DiTConfig
+    from tokensgen_tpu.models.text_encoder import make_text_encoder
+
+    probe = DiTConfig.tiny() if smoke else DiTConfig.cogvideox_5b()
+    conv_dir = cfg.get("converted_weights_dir")
+    conv_t5 = os.path.join(conv_dir, "t5.safetensors") if conv_dir else None
+    if conv_t5 and not os.path.isfile(conv_t5):
+        conv_t5 = None
+    enc_dir = cfg.get("pretrained_text_encoder_path")
+    ckpt = cfg.get("pretrained_model_name_or_path")
+    if not enc_dir and ckpt and os.path.isdir(os.path.join(ckpt, "text_encoder")):
+        enc_dir = os.path.join(ckpt, "text_encoder")
+    tok_dir = cfg.get("pretrained_tokenizer_path")
+    if not tok_dir and ckpt and os.path.isdir(os.path.join(ckpt, "tokenizer")):
+        tok_dir = os.path.join(ckpt, "tokenizer")
+    allow_hash = smoke or bool(cfg.get("allow_hash_text_encoder", False))
+    if not (conv_t5 or enc_dir) and not allow_hash:
+        raise ValueError(
+            "no text encoder configured: set `pretrained_text_encoder_path` "
+            "(HF T5 dir), `converted_weights_dir` (with t5.safetensors), or "
+            "opt into pseudo-embeddings with `allow_hash_text_encoder: true` "
+            "/ --smoke")
+    return make_text_encoder(
+        enc_dir, probe.max_text_seq_length, probe.text_embed_dim,
+        allow_hash_fallback=allow_hash, converted_path=conv_t5,
+        tokenizer_dir=tok_dir)
 
 
 def build_pipeline(cfg, smoke: bool):
@@ -67,7 +113,10 @@ def build_pipeline(cfg, smoke: bool):
         pcfg = To2VConfig(height=32, width=48, num_frames_per_chunk=9,
                           num_inference_steps=6, num_partitions=2,
                           vip_scale=(vp.get("scale") or [1.0])[0],
-                          use_vae_as_encoder=cfg.get("use_vae_as_encoder", True))
+                          use_vae_as_encoder=cfg.get("use_vae_as_encoder", True),
+                          use_dynamic_cfg=cfg.get("use_dynamic_cfg", False),
+                          tail_renoise_mode=cfg.get_path(
+                              "sampling_params.tail_renoise_mode", "xt"))
     else:
         vc = VIPConfig(
             length=vp.get("length", 480),
@@ -101,6 +150,12 @@ def build_pipeline(cfg, smoke: bool):
             use_adaptive_padding=cfg.get_path("sampling_params.use_adaptive_padding", True),
             vip_scale=(vp.get("scale") or [1.0])[0],
             use_vae_as_encoder=cfg.get("use_vae_as_encoder", True),
+            # dynamic CFG `1+g·(1−cos(π·((T−t)/T)^5))/2` + tail renoise mode
+            # (`pipeline_cogvideox_mp_fifo.py:1253-1266`,
+            #  `cogvideo_sampling.py:115-128` randn vs mp_v2's add_noise_to_xt)
+            use_dynamic_cfg=cfg.get("use_dynamic_cfg", False),
+            tail_renoise_mode=cfg.get_path(
+                "sampling_params.tail_renoise_mode", "xt"),
         )
 
     rng = jax.random.PRNGKey(cfg.get("seed", 42))
@@ -136,33 +191,45 @@ def build_pipeline(cfg, smoke: bool):
     dit = CogVideoXTransformer(_dc.replace(dcfg, quant=None, fuse_qkv=False))
     rope = get_3d_rotary_pos_embed_v2(d, np.arange(pcfg.nf_latent), np.arange(hp), np.arange(wp))
     n_vip = min(rcfg.num_temporal_queries + 1, pcfg.nf_latent)
-    dit_params = dit.init(
-        r3,
-        jnp.zeros((1, pcfg.nf_latent, 16, pcfg.height // 8, pcfg.width // 8)),
-        jnp.zeros((1, dcfg.max_text_seq_length, dcfg.text_embed_dim)),
-        jnp.zeros((1,), jnp.int32),
-        vip_hidden_states=jnp.zeros((1, n_vip, vc.output_dim, vc.num_height_queries, vc.num_width_queries)),
-        image_rotary_emb=rope,
-        vip_image_rotary_emb=rope,
-        vip_condition_rotary_emb=get_3d_rotary_pos_embed_v2(
-            d, np.arange(n_vip), np.arange(vc.num_height_queries), np.arange(vc.num_width_queries)),
-    )
     dit_tree = _load_converted(cfg, "to2v_dit")
     if dit_tree is not None:
-        # convert_weights.py output already carries the vip.pt overlay — no graft
+        # convert_weights.py output carries the vip.pt overlay when vip.pt was
+        # present at convert time (manifest `to2v_dit.vip`); a tree without the
+        # VIP branch cannot drive VIP-conditioned inference — fail here with a
+        # clear message instead of a missing-parameter error from flax apply
+        if not _tree_has_vip(dit_tree):
+            raise ValueError(
+                "converted to2v_dit tree has no VIP branch (vip.pt was absent "
+                "at convert_weights.py time — manifest records to2v_dit.vip: "
+                "false). Re-convert with TokensGen-To2V/vip.pt in place; VIP-"
+                "conditioned inference needs the trained adapters.")
         dit_params = {"params": dit_tree}
-    elif ckpt and os.path.isdir(ckpt):
-        from tokensgen_tpu.convert.safetensors_io import load_safetensors
-        from tokensgen_tpu.convert.torch_weights import convert_dit
+    else:
+        # random init only when no converted tree exists — the full 5b init is
+        # expensive and would be discarded
+        dit_params = dit.init(
+            r3,
+            jnp.zeros((1, pcfg.nf_latent, 16, pcfg.height // 8, pcfg.width // 8)),
+            jnp.zeros((1, dcfg.max_text_seq_length, dcfg.text_embed_dim)),
+            jnp.zeros((1,), jnp.int32),
+            vip_hidden_states=jnp.zeros((1, n_vip, vc.output_dim, vc.num_height_queries, vc.num_width_queries)),
+            image_rotary_emb=rope,
+            vip_image_rotary_emb=rope,
+            vip_condition_rotary_emb=get_3d_rotary_pos_embed_v2(
+                d, np.arange(n_vip), np.arange(vc.num_height_queries), np.arange(vc.num_width_queries)),
+        )
         sd = {}
-        for name in os.listdir(ckpt):
-            if name.endswith(".safetensors"):
-                sd.update(load_safetensors(os.path.join(ckpt, name)))
+        if ckpt and os.path.isdir(ckpt):
+            from tokensgen_tpu.convert.safetensors_io import load_safetensors
+            for name in os.listdir(ckpt):
+                if name.endswith(".safetensors"):
+                    sd.update(load_safetensors(os.path.join(ckpt, name)))
         if sd:
+            from tokensgen_tpu.convert.torch_weights import convert_dit
             dit_params = {"params": convert_dit(sd, dcfg)}
             print(f"loaded DiT weights from {ckpt}", flush=True)
-    else:
-        dit_params = {"params": graft_vip_params(dit_params["params"], dcfg)}
+        else:
+            dit_params = {"params": graft_vip_params(dit_params["params"], dcfg)}
     if dcfg.fuse_qkv:
         from tokensgen_tpu.models.dit import fuse_qkv_params
         dit_params = {"params": fuse_qkv_params(dit_params["params"],
@@ -197,6 +264,9 @@ def build_pipeline(cfg, smoke: bool):
 
 
 def main():
+    from tokensgen_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # make JAX_PLATFORMS effective despite the pinned plugin
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--smoke", action="store_true")
@@ -214,6 +284,25 @@ def main():
     cfg = load_config(args.config)
     run_dir = create_output_folders(cfg.get("output_dir", "./outputs"),
                                     cfg.get("name_prefix", "infer"), args.config)
+
+    # Phase 0 — text encode (reference: tokenizer+T5 load at
+    # `infer_cogvideo_mp_fifo.py:123-134`, 226-token prompt encode at
+    # `pipeline_cogvideox_mp_fifo.py:365-486`). All prompts (+ the CFG
+    # negative "") are encoded BEFORE any model params exist on device, then
+    # the ~9.5 GB bf16 T5-XXL is dropped — the offload phase orchestration's
+    # first phase on a 16 GB chip.
+    items = list(input_items(cfg))
+    prompts = sorted({it.get("prompt", "") for it in items} | {""})
+    text_enc = build_text_encoder(cfg, args.smoke)
+    _t0 = time.time()
+    embeds = {p: np.asarray(text_enc([p]))[0] for p in prompts}
+    print(f"encoded {len(prompts)} prompts in {time.time() - _t0:.1f}s "
+          f"({type(text_enc.inner).__name__})", flush=True)
+    del text_enc  # frees the T5 params before the DiT/VAE phases
+
+    def text_embeds_for(prompt):
+        return jnp.asarray(embeds[prompt])[None]
+
     pipe, dcfg = build_pipeline(cfg, args.smoke)
 
     # 2nd stage (gen workload): T2To token generator
@@ -241,13 +330,20 @@ def main():
         t2model = CogVideoXTransformer(t2dcfg)
         t2pipe_tmp = T2ToPipeline(t2cfg, t2dcfg, None)
         f0 = 2 * t2cfg.num_frames_per_chunk
-        t2params = t2model.init(
-            jax.random.PRNGKey(1),
-            jnp.zeros((1, f0, t2cfg.latent_channels, t2cfg.height, t2cfg.width)),
-            jnp.zeros((1, t2dcfg.max_text_seq_length, t2dcfg.text_embed_dim)),
-            jnp.zeros((1,), jnp.int32),
-            image_rotary_emb=t2pipe_tmp.rope(f0),
-        )
+        # converted TokensGen-T2To weights when available (the full-finetune
+        # transformer exported by convert_weights.py as t2to_dit.safetensors);
+        # random init is the weights-free fallback only
+        t2_tree = _load_converted(cfg, "t2to_dit")
+        if t2_tree is not None:
+            t2params = {"params": t2_tree}
+        else:
+            t2params = t2model.init(
+                jax.random.PRNGKey(1),
+                jnp.zeros((1, f0, t2cfg.latent_channels, t2cfg.height, t2cfg.width)),
+                jnp.zeros((1, t2dcfg.max_text_seq_length, t2dcfg.text_embed_dim)),
+                jnp.zeros((1,), jnp.int32),
+                image_rotary_emb=t2pipe_tmp.rope(f0),
+            )
         # pca/mean/std artifacts
         if not args.smoke and cfg.get("longvgen_pca"):
             from tokensgen_tpu.convert.safetensors_io import load_safetensors
@@ -276,13 +372,7 @@ def main():
     if nq > 1:
         mesh = make_mesh(MeshSpec(data=1, queue=nq))
 
-    def text_embeds_for(prompt):
-        h = abs(hash(prompt)) % (2**31)
-        arr = np.random.default_rng(h).normal(
-            size=(1, dcfg.max_text_seq_length, dcfg.text_embed_dim)) * 0.02
-        return jnp.asarray(arr, jnp.float32)
-
-    for item in input_items(cfg):
+    for item in items:
         name = item["name"]
         print(f"--- item {name}", flush=True)
         prompt = item.get("prompt", "")

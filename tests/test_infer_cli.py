@@ -75,6 +75,32 @@ def test_infer_smoke_quant_w8a16(tmp_path):
 
 
 @pytest.mark.slow
+def test_infer_smoke_real_t5(tmp_path):
+    """`pretrained_text_encoder_path` config key drives the REAL T5 loading
+    path end-to-end (tiny fabricated HF checkpoint + fast tokenizer) — the
+    flagship CLI conditions on actual T5 embeddings, not the hash stub
+    (reference: `infer_cogvideo_mp_fifo.py:123-134`)."""
+    import sys as _sys
+
+    _sys.path.insert(0, _REPO)
+    from tests._tiny_t5 import write_tiny_t5_dir
+
+    t5_dir = tmp_path / "t5"
+    write_tiny_t5_dir(str(t5_dir), d_model=24)  # tiny DiT text_embed_dim
+    res = _run_infer(tmp_path, f"pretrained_text_encoder_path: {t5_dir}")
+    assert "(T5TextEncoder)" in res.stdout, res.stdout[-2000:]
+
+
+@pytest.mark.slow
+def test_infer_smoke_dynamic_cfg(tmp_path):
+    """`use_dynamic_cfg` + `tail_renoise_mode` config keys reach the FIFO
+    engine (`pipeline_cogvideox_mp_fifo.py:1253-1266`)."""
+    _run_infer(tmp_path, "use_dynamic_cfg: true\n"
+                         "sampling_params:\n"
+                         "  tail_renoise_mode: randn")
+
+
+@pytest.mark.slow
 def test_infer_smoke_gen_2stage(tmp_path):
     """gen workload (`use_2nd_stage: true`): T2To generates condensed tokens
     from text, To2V renders them — no source video

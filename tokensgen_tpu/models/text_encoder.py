@@ -37,8 +37,49 @@ class HashTextEncoder:
         return jnp.asarray(out)
 
 
+def _config_from_param_tree(tree) -> "T5Config":
+    """Infer a `T5Config` from a converted flax param tree's shapes — converted
+    checkpoints carry no config.json, and the shapes pin down every field."""
+    from tokensgen_tpu.models.t5 import T5Config
+    import jax.numpy as _jnp
+
+    vocab, d_model = tree["embed"]["embedding"].shape
+    num_buckets, num_heads = tree["relative_attention_bias"].shape
+    d_kv = tree["block_0"]["attn"]["q"]["kernel"].shape[1] // num_heads
+    d_ff = tree["block_0"]["wi_0"]["kernel"].shape[1]
+    num_layers = sum(1 for k in tree if k.startswith("block_"))
+    return T5Config(
+        vocab_size=vocab, d_model=d_model, d_kv=d_kv, d_ff=d_ff,
+        num_layers=num_layers, num_heads=num_heads,
+        relative_attention_num_buckets=num_buckets,
+        dtype=_jnp.bfloat16 if d_model >= 1024 else _jnp.float32,
+    )
+
+
+def _load_tokenizer(model_dir: str, tokenizer_dir: Optional[str] = None):
+    """HF tokenizer from `tokenizer_dir`, `model_dir` itself, or the sibling
+    `../tokenizer` dir (the CogVideoX-5b layout keeps `text_encoder/` weights
+    next to a separate `tokenizer/`)."""
+    import os
+
+    from transformers import AutoTokenizer
+
+    candidates = [tokenizer_dir] if tokenizer_dir else [
+        model_dir, os.path.join(os.path.dirname(model_dir.rstrip("/")), "tokenizer")]
+    last = None
+    for cand in candidates:
+        if not cand or not os.path.isdir(cand):
+            continue
+        try:
+            return AutoTokenizer.from_pretrained(cand)
+        except Exception as e:  # missing/corrupt tokenizer files
+            last = e
+    raise FileNotFoundError(
+        f"no loadable tokenizer in {candidates}: {last}")
+
+
 class T5TextEncoder:
-    """Tokenise (HF T5Tokenizer) + encode (our flax T5)."""
+    """Tokenise (HF tokenizer) + encode (our flax T5)."""
 
     def __init__(self, t5_config, t5_params, tokenizer, max_length: int = 226):
         from tokensgen_tpu.models.t5 import T5Encoder
@@ -49,24 +90,39 @@ class T5TextEncoder:
         self.max_length = max_length
 
     @classmethod
-    def from_pretrained(cls, model_dir: str, max_length: int = 226):
-        """Load HF torch T5 weights + sentencepiece tokenizer from a local dir."""
+    def from_pretrained(cls, model_dir: str, max_length: int = 226,
+                        tokenizer_dir: Optional[str] = None):
+        """Load HF torch T5 weights + tokenizer from a local dir
+        (reference: tokenizer+T5 load, `infer_cogvideo_mp_fifo.py:123-134`)."""
         import os
-
-        from transformers import T5Tokenizer
 
         from tokensgen_tpu.convert.safetensors_io import load_safetensors
         from tokensgen_tpu.convert.torch_weights import convert_t5
-        from tokensgen_tpu.models.t5 import T5Config
 
         sd = {}
         for name in sorted(os.listdir(model_dir)):
             if name.endswith(".safetensors"):
                 sd.update(load_safetensors(os.path.join(model_dir, name)))
-        cfg = T5Config.xxl()
-        params = convert_t5(sd, cfg.num_layers)
-        tokenizer = T5Tokenizer.from_pretrained(model_dir)
+        if not sd:
+            raise FileNotFoundError(f"no .safetensors weights in {model_dir}")
+        num_layers = 1 + max(
+            int(k.split(".")[2]) for k in sd if k.startswith("encoder.block."))
+        params = convert_t5(sd, num_layers)
+        cfg = _config_from_param_tree(params)
+        tokenizer = _load_tokenizer(model_dir, tokenizer_dir)
         return cls(cfg, {"params": params}, tokenizer, max_length)
+
+    @classmethod
+    def from_converted(cls, t5_path: str, tokenizer_dir: str,
+                       max_length: int = 226):
+        """Load a `convert_weights.py` export (`<dir>/t5.safetensors`, our param
+        layout) + an HF tokenizer dir."""
+        from tokensgen_tpu.convert.safetensors_io import load_param_tree
+
+        tree = load_param_tree(t5_path)
+        cfg = _config_from_param_tree(tree)
+        tokenizer = _load_tokenizer(tokenizer_dir)
+        return cls(cfg, {"params": tree}, tokenizer, max_length)
 
     def __call__(self, prompts: List[str]) -> jnp.ndarray:
         enc = self.tokenizer(
@@ -93,26 +149,41 @@ class CachedTextEncoder:
 
 
 def make_text_encoder(model_dir: Optional[str], max_length: int = 226,
-                      embed_dim: int = 4096, allow_hash_fallback: bool = False):
-    """T5 when a checkpoint dir is given, hash encoder otherwise — cached.
+                      embed_dim: int = 4096, allow_hash_fallback: bool = False,
+                      converted_path: Optional[str] = None,
+                      tokenizer_dir: Optional[str] = None):
+    """T5 when a checkpoint is given, hash encoder otherwise — cached.
 
-    A configured ``model_dir`` that fails to load (missing/corrupt weights or
-    tokenizer) RAISES rather than silently degrading to hash pseudo-embeddings —
-    a typo'd weights path must not "succeed" with garbage conditioning. Smoke
-    tests opt into the degradation with ``allow_hash_fallback=True``.
+    ``converted_path`` (a `convert_weights.py` t5.safetensors export) takes
+    precedence over ``model_dir`` (an HF torch T5 dir). A configured checkpoint
+    that fails to load (missing/corrupt weights or tokenizer) RAISES rather
+    than silently degrading to hash pseudo-embeddings — a typo'd weights path
+    must not "succeed" with garbage conditioning. Smoke tests opt into the
+    degradation with ``allow_hash_fallback=True``.
     """
     import os
 
-    if model_dir:
+    if converted_path or model_dir:
         try:
-            if not os.path.isdir(model_dir):
-                raise FileNotFoundError(f"text encoder dir not found: {model_dir}")
-            return CachedTextEncoder(T5TextEncoder.from_pretrained(model_dir, max_length))
+            if converted_path:
+                if not os.path.isfile(converted_path):
+                    raise FileNotFoundError(
+                        f"converted t5 weights not found: {converted_path}")
+                enc = T5TextEncoder.from_converted(
+                    converted_path, tokenizer_dir, max_length)
+            else:
+                if not os.path.isdir(model_dir):
+                    raise FileNotFoundError(
+                        f"text encoder dir not found: {model_dir}")
+                enc = T5TextEncoder.from_pretrained(
+                    model_dir, max_length, tokenizer_dir)
+            return CachedTextEncoder(enc)
         except Exception as e:  # missing tokenizer/weights
             if not allow_hash_fallback:
                 raise RuntimeError(
-                    f"failed to load T5 text encoder from {model_dir!r}: {e}. "
-                    "Pass allow_hash_fallback=True (or leave model_dir unset) to "
+                    f"failed to load T5 text encoder from "
+                    f"{converted_path or model_dir!r}: {e}. Pass "
+                    "allow_hash_fallback=True (or leave the path unset) to "
                     "run with deterministic hash pseudo-embeddings."
                 ) from e
             print(f"T5 load failed ({e}); falling back to hash text encoder")

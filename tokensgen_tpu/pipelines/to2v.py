@@ -59,6 +59,10 @@ class To2VConfig:
     vae_scale_factor_spatial: int = 8
     vae_scale_factor_temporal: int = 4
     stochastic: bool = True
+    # "xt": recycled-frame renoise via `add_noise_to_xt(t=999)` (mp_v2,
+    # `cogvideo_sampling_mp_fifo.py:117-131`); "randn": pure fresh noise
+    # (single-device engine, `cogvideo_sampling.py:115-128`)
+    tail_renoise_mode: str = "xt"
     # False selects the DINOv2 image-encoder conditioning path (the reference's
     # `use_vae_as_encoder: false`, `infer_cogvideo_mp_fifo.py:300-320`);
     # requires the pipeline's ``image_encoder=(DINOv2Encoder, params)``
@@ -588,6 +592,7 @@ class To2VPipeline:
             use_dynamic_cfg=cfg.use_dynamic_cfg,
             use_separate_guidance=cfg.use_separate_guidance,
             stochastic=cfg.stochastic,
+            tail_renoise_mode=cfg.tail_renoise_mode,
             emit_dtype=cfg.fifo_emit_dtype,
             video_ipadapter_start_frame_idx=cfg.video_ipadapter_start_frame_idx,
             vip_rope_dims=(

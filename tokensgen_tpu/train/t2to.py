@@ -83,19 +83,26 @@ def padded_chunk_masks(valid_frames: jnp.ndarray, num_frames: int, hw: int,
     return key_bias, loss_mask
 
 
-def make_optimizer(cfg: T2ToTrainConfig) -> optax.GradientTransformation:
+def make_optimizer(cfg: T2ToTrainConfig,
+                   accum_steps: int = 1) -> optax.GradientTransformation:
     from tokensgen_tpu.train import optim
 
     lr = optim.lr_schedule(cfg.lr_scheduler, cfg.learning_rate,
                            cfg.lr_warmup_steps, cfg.max_train_steps,
                            num_cycles=cfg.lr_num_cycles, power=cfg.lr_power)
-    return optax.chain(
+    opt = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optim.base_optimizer(cfg.optimizer, lr, b1=cfg.adam_beta1,
                              b2=cfg.adam_beta2, eps=cfg.adam_eps,
                              weight_decay=cfg.weight_decay,
                              use_8bit=cfg.use_8bit_adam),
     )
+    if accum_steps > 1:
+        # reference trains with gradient_accumulation_steps=5
+        # (`config/train/*_t2to.yaml:68-93`); the f32 accumulation buffer is
+        # ZeRO-1-sharded with the rest of the optimizer state
+        opt = optax.MultiSteps(opt, every_k_schedule=accum_steps)
+    return opt
 
 
 def make_train_step(

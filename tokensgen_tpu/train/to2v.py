@@ -93,7 +93,8 @@ def partition_params(params: Dict):
     return train, frozen
 
 
-def make_optimizer(params: Dict, cfg: To2VTrainConfig) -> optax.GradientTransformation:
+def make_optimizer(params: Dict, cfg: To2VTrainConfig,
+                   accum_steps: int = 1) -> optax.GradientTransformation:
     from tokensgen_tpu.train import optim
 
     lr = optim.lr_schedule(cfg.lr_scheduler, cfg.learning_rate,
@@ -104,6 +105,12 @@ def make_optimizer(params: Dict, cfg: To2VTrainConfig) -> optax.GradientTransfor
         eps=cfg.adam_eps, weight_decay=cfg.weight_decay,
         use_8bit=cfg.use_8bit_adam)
     adamw = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), inner)
+    if accum_steps > 1:
+        # MultiSteps INSIDE the train branch: the f32 accumulation buffer then
+        # exists only for the ~1% trainable leaves — wrapped around the whole
+        # multi_transform it would hold a dead f32 copy of the frozen 5.5B
+        # base (~22 GB before ZeRO sharding)
+        adamw = optax.MultiSteps(adamw, every_k_schedule=accum_steps)
     return optax.multi_transform(
         {"train": adamw, "freeze": optax.set_to_zero()}, trainable_labels(params)
     )

@@ -19,6 +19,9 @@ import numpy as np
 
 
 def main():
+    from tokensgen_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # make JAX_PLATFORMS effective despite the pinned plugin
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--max-steps", type=int, default=None)
@@ -50,19 +53,37 @@ def main():
                                     cfg.get("name_prefix", "t2to"), args.config)
     print(f"run dir: {run_dir}", flush=True)
 
+    # parallel layout: mesh (data, model) — see train_to2v.py; tiny smoke uses
+    # 1 head so TP there needs num_attention_heads >= tp (2 below)
+    tp = int(cfg.get("tp_devices", 1))
+    ndev = jax.device_count()
+    if tp < 1 or ndev % tp:
+        raise ValueError(f"tp_devices={tp} must divide device count {ndev}")
+    dp = int(cfg.get("dp_devices", 0)) or (ndev // tp)
+    if dp * tp > ndev:
+        raise ValueError(f"dp({dp}) x tp({tp}) exceeds {ndev} devices")
+    mesh = make_mesh(MeshSpec(data=dp, model=tp))
+    if tp > 1:
+        # ambient mesh BEFORE any model apply/init (head-sharded attention)
+        jax.set_mesh(mesh)
+        print(f"tensor parallel: tp={tp} x dp={dp} mesh", flush=True)
+
     if args.smoke or cfg.get("model_size") == "tiny":
         dcfg = DiTConfig.tiny(patch_size=1, sample_height=8, sample_width=12,
-                              attention_head_dim=64, num_attention_heads=1)
+                              attention_head_dim=64,
+                              num_attention_heads=2 if tp > 1 else 1,
+                              tp_axis="model" if tp > 1 else None)
         max_chunks, tokens_per_chunk = 4, 4
         token_dim = 48
     else:
-        dcfg = DiTConfig.t2to_5b(remat=True)
+        dcfg = DiTConfig.t2to_5b(remat=True,
+                                 tp_axis="model" if tp > 1 else None)
         max_chunks = cfg.get_path("train_data_params.max_num_chunks", 24)
         tokens_per_chunk = 4
         token_dim = 3072
 
     f = max_chunks * tokens_per_chunk
-    b = cfg.get("per_gpu_batch_size", 1) * jax.device_count()
+    b = cfg.get("per_gpu_batch_size", 1) * dp
     sched = S.make_schedule(S.ScheduleConfig(
         beta_schedule=cfg.get("beta_schedule", "vip_1")))
     tcfg = t2to.T2ToTrainConfig(
@@ -74,14 +95,14 @@ def main():
         lr_num_cycles=cfg.get("lr_num_cycles", 1),
         lr_power=cfg.get("lr_power", 1.0),
         max_train_steps=cfg.get("max_train_steps", 100),
-        num_processes=jax.device_count(),
+        num_processes=dp,
     )
     if cfg.get("scale_lr"):
         import dataclasses as _dc
         tcfg = _dc.replace(
             tcfg, learning_rate=tcfg.learning_rate
             * cfg.get("gradient_accumulation_steps", 1)
-            * cfg.get("per_gpu_batch_size", 1) * jax.device_count())
+            * cfg.get("per_gpu_batch_size", 1) * dp)
 
     # PCA / mean / std (fit here in smoke mode; load converted artifacts otherwise)
     rng_np = np.random.default_rng(cfg.get("seed", 42))
@@ -111,7 +132,8 @@ def main():
         jnp.zeros((1,), jnp.int32), image_rotary_emb=rope,
     )["params"]
 
-    optimizer = t2to.make_optimizer(tcfg)
+    optimizer = t2to.make_optimizer(
+        tcfg, accum_steps=cfg.get("gradient_accumulation_steps", 1))
     opt_state = optimizer.init(params)
     step0 = 0
     ckpt_root = os.path.join(cfg.get("output_dir", "./outputs"), "t2to_checkpoints")
@@ -122,9 +144,13 @@ def main():
             params, opt_state = restored["params"], restored["opt_state"]
         step0 = step0 or 0
 
-    mesh = make_mesh(MeshSpec(data=jax.device_count()))
     step_fn = jax.jit(t2to.make_train_step(dcfg, sched, tcfg, optimizer))
-    params = replicate(mesh, params)
+    if tp > 1:
+        from tokensgen_tpu.sharding.tp import shard_dit_params
+
+        params = shard_dit_params(mesh, params)
+    else:
+        params = replicate(mesh, params)
     if cfg.get("zero1", False):
         from tokensgen_tpu.sharding.zero import shard_opt_state
 

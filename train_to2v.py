@@ -21,6 +21,9 @@ import numpy as np
 
 
 def main():
+    from tokensgen_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # make JAX_PLATFORMS effective despite the pinned plugin
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--max-steps", type=int, default=None)
@@ -57,11 +60,33 @@ def main():
                                     cfg.get("name_prefix", "to2v"), args.config)
     print(f"run dir: {run_dir}", flush=True)
 
+    # --- parallel layout: mesh (data, model) ---
+    # `tp_devices`: Megatron-style tensor parallelism over the DiT's 48
+    # attention heads / FFN (sharding/tp.py; SURVEY §2.3 optional TP target,
+    # reference capability anchor `attention_processor.py:1885-1954`).
+    # Composes with data parallelism: dp = device_count / tp.
+    tp = int(cfg.get("tp_devices", 1))
+    ndev = jax.device_count()
+    if tp < 1 or ndev % tp:
+        raise ValueError(f"tp_devices={tp} must divide device count {ndev}")
+    # `dp_devices`: optionally use fewer data ranks than available (e.g. a
+    # tp-vs-dp equality check on one host); default fills the machine
+    dp = int(cfg.get("dp_devices", 0)) or (ndev // tp)
+    if dp * tp > ndev:
+        raise ValueError(f"dp({dp}) x tp({tp}) exceeds {ndev} devices")
+    mesh = make_mesh(MeshSpec(data=dp, model=tp))
+    if tp > 1:
+        # ambient mesh BEFORE any model apply/init: the Pallas attention op
+        # shard_maps itself over heads (kernels/attention.py tp_axis path)
+        jax.set_mesh(mesh)
+        print(f"tensor parallel: tp={tp} x dp={dp} mesh", flush=True)
+
     # --- model configs ---
     if args.smoke or cfg.get("model_size") == "tiny":
         vc = VIPConfig(output_dim=24, num_temporal_queries=2, num_height_queries=2,
                        num_width_queries=3, length=3 * 2 * 3)
-        dcfg = DiTConfig.tiny(vip=vc, sample_height=4, sample_width=6)
+        dcfg = DiTConfig.tiny(vip=vc, sample_height=4, sample_width=6,
+                              tp_axis="model" if tp > 1 else None)
         rcfg = ResamplerConfig.tiny(embedding_dim=dcfg.inner_dim, output_dim=24,
                                     num_temporal_queries=2, num_height_queries=2,
                                     num_width_queries=3)
@@ -78,7 +103,8 @@ def main():
             num_height_queries=rp.get("num_height_queries", 8),
             num_width_queries=rp.get("num_width_queries", 12),
         )
-        dcfg = DiTConfig.cogvideox_5b(vip=vc, remat=True)
+        dcfg = DiTConfig.cogvideox_5b(vip=vc, remat=True,
+                                      tp_axis="model" if tp > 1 else None)
         rcfg = ResamplerConfig(**{k: v for k, v in rp.items()
                                   if k in ResamplerConfig.__dataclass_fields__})
         vcfg = VAEConfig.cogvideox()
@@ -97,22 +123,22 @@ def main():
         lr_num_cycles=cfg.get("lr_num_cycles", 1),
         lr_power=cfg.get("lr_power", 1.0),
         max_train_steps=cfg.get("max_train_steps", 1000),
-        num_processes=jax.device_count(),
+        num_processes=dp,
     )
     accum = cfg.get("gradient_accumulation_steps", 1)
-    batch_size = cfg.get("per_gpu_batch_size", 1) * jax.device_count()  # global
+    batch_size = cfg.get("per_gpu_batch_size", 1) * dp  # global
     if cfg.get("scale_lr"):
         # `--scale_lr`: lr *= accum * per-device batch * ranks (`:1441-1444`)
         import dataclasses as _dc
         tcfg = _dc.replace(tcfg, learning_rate=tcfg.learning_rate * accum
-                           * cfg.get("per_gpu_batch_size", 1) * jax.device_count())
+                           * cfg.get("per_gpu_batch_size", 1) * dp)
     max_chunks = cfg.get_path("train_data_params.max_num_chunks", 2)
 
     # --- params ---
     rng = jax.random.PRNGKey(cfg.get("seed", 42))
     # the host pipeline produces this host's share; shard_batch assembles the
     # global array from per-process data under multi-host
-    b = cfg.get("per_gpu_batch_size", 1) * jax.local_device_count()
+    b = max(1, batch_size // jax.process_count())
     nf = (nf_px - 1) // 4 + 1
     h_lat = height // 8
     w_lat = width // 8
@@ -129,9 +155,11 @@ def main():
         "text_embeds": jnp.zeros((b, dcfg.max_text_seq_length, dcfg.text_embed_dim)),
     }
     params = to2v.init_params(dcfg, rcfg, rng, example)
-    optimizer = to2v.make_optimizer(params, tcfg)
-    if accum > 1:
-        optimizer = optax.MultiSteps(optimizer, every_k_schedule=accum)
+    # frozen base stored bf16 (the trainable vip/resampler leaves stay f32
+    # masters): halves the frozen params' HBM and removes the per-step
+    # f32->bf16 convert temps (see to2v.cast_frozen_bf16)
+    params = to2v.cast_frozen_bf16(params)
+    optimizer = to2v.make_optimizer(params, tcfg, accum_steps=accum)
     opt_state = optimizer.init(params)
     step0 = 0
     if args.resume:
@@ -146,10 +174,15 @@ def main():
     audit = ParamAudit(run_dir)
     audit.write(params, to2v.trainable_labels(params))
 
-    # --- mesh + jitted step ---
-    mesh = make_mesh(MeshSpec(data=jax.device_count()))
+    # --- param placement + jitted step (mesh built above) ---
     train_step = jax.jit(to2v.make_train_step(dcfg, rcfg, sched, tcfg, optimizer))
-    params = replicate(mesh, params)
+    if tp > 1:
+        from tokensgen_tpu.sharding.tp import shard_dit_params
+
+        params = {"dit": shard_dit_params(mesh, params["dit"]),
+                  "resampler": replicate(mesh, params["resampler"])}
+    else:
+        params = replicate(mesh, params)
     if cfg.get("zero1", False):
         # ZeRO-1: optimizer state sharded over the data axis; XLA inserts the
         # reduce-scatter/all-gather around the update (sharding/zero.py)
