@@ -376,7 +376,9 @@ def main():
         name = item["name"]
         print(f"--- item {name}", flush=True)
         prompt = item.get("prompt", "")
-        num_chunks = item.get("max_num_chunks", 2)
+        # FIFO chunk cap (`config/infer/gen.yaml` max_num_chunks_w_fifo: 25)
+        num_chunks = min(item.get("max_num_chunks", 2),
+                         item.get("max_num_chunks_w_fifo", 25))
         frames = None
         image_embeddings = None
         if t2to_pipe is not None and not item.get("video"):
@@ -398,8 +400,12 @@ def main():
             src = load_video(
                 item["video"],
                 sample_fps=item.get("sample_fps", 10),
+                start_t=item.get("start_t", 0.0),
+                end_t=item.get("end_t", -1.0),
                 # the pipeline resolution defines the model input size
                 output_res=(pipe.cfg.height, pipe.cfg.width),
+                crop_to_fit=item.get("crop_to_fit", True),
+                pad_to_fit=item.get("pad_to_fit", False),
                 max_frames=num_chunks * pipe.cfg.num_frames_per_chunk,
             )
             frames = jnp.asarray(src)

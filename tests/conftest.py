@@ -23,3 +23,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu"
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Everything not explicitly `slow`/`full` is `quick`, so `pytest -m quick`
+    is the fast iteration gate and `pytest` (no -m) stays the complete suite."""
+    for item in items:
+        if (item.get_closest_marker("slow") is None
+                and item.get_closest_marker("full") is None):
+            item.add_marker(pytest.mark.quick)

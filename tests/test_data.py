@@ -129,6 +129,42 @@ def test_batch_iterator(video_dir):
     assert len(batches[0]["prompt"]) == 2
 
 
+def test_batch_iterator_num_workers(video_dir):
+    """Decode-pool path yields the same batches (same order) as sequential —
+    the pool is a throughput change only."""
+    ds = MiraDataset(
+        str(video_dir / "index.csv"), str(video_dir), height=32, width=48,
+        sample_fps=10.0, chunk_size=9, max_num_chunks=1, seed=0,
+        random_sample=False, i_drop_rate=0, t_drop_rate=0, ti_drop_rate=0,
+    )
+    seq = list(batch_iterator(ds, 2, seed=1, prefetch=0))
+    par = list(batch_iterator(ds, 2, seed=1, prefetch=0, num_workers=3))
+    assert len(seq) == len(par)
+    for a, b in zip(seq, par):
+        np.testing.assert_array_equal(a["pixel_values"], b["pixel_values"])
+        assert list(a["video_index"]) == list(b["video_index"])
+
+
+def test_batch_iterator_num_workers_skips_bad_items(video_dir, tmp_path):
+    """A worker hitting an unreadable video skips it (retry-on-unqualified
+    semantics, `long_video.py:571-580`) instead of crashing the stream."""
+    import shutil
+
+    root = tmp_path / "vids"
+    shutil.copytree(video_dir, root)
+    # corrupt one shard file
+    bad = next(root.glob("*/*.mp4"))
+    bad.write_bytes(b"not a video")
+    ds = MiraDataset(
+        str(root / "index.csv"), str(root), height=32, width=48,
+        sample_fps=10.0, chunk_size=9, max_num_chunks=1, seed=0,
+    )
+    batches = list(batch_iterator(ds, 1, seed=1, prefetch=0, num_workers=2,
+                                  drop_last=False))
+    total = sum(b["pixel_values"].shape[0] for b in batches)
+    assert total == len(ds) - 1
+
+
 def test_batch_iterator_sharding(video_dir):
     ds = MiraDataset(
         str(video_dir / "index.csv"), str(video_dir), height=32, width=48,

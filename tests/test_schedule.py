@@ -95,8 +95,13 @@ def dpm_oracle(ac, mo, x, t, pt, tb=None, old_x0=None, noise=None, noise2=None):
     prev = m1 * x - m2 * x0 + nz
     if old_x0 is not None and pt >= 0 and tb is not None:
         apb = ac[tb]
-        lamb_prev = np.log((apb / (1 - apb)) ** 0.5)
-        r = (lamb - lamb_prev) / h
+        with np.errstate(divide="ignore"):  # apb == 1 at the terminal index
+            lamb_prev = np.log((apb / (1 - apb)) ** 0.5)
+        with np.errstate(invalid="ignore"):
+            # inf - inf at the zero-terminal-SNR index: the nan r is never
+            # compared (the caller only checks steps where the scalar path
+            # is well-defined) — acknowledge instead of warning
+            r = (lamb - lamb_prev) / h
         m3, m4 = 1 + 1 / (2 * r), 1 / (2 * r)
         d = m3 * x0 - m4 * old_x0
         nz2 = mn * (noise2 if noise2 is not None else noise) if (noise2 is not None or noise is not None) else 0.0

@@ -446,9 +446,20 @@ def batch_iterator(
     num_shards: int = 1,
     shard_index: int = 0,
     prefetch: int = 2,
+    num_workers: int = 0,
 ) -> Iterator[Dict]:
     """Shuffled, host-sharded, background-prefetched batch stream (replaces the
-    accelerate DataLoader; per-host sharding covers the DDP split)."""
+    accelerate DataLoader; per-host sharding covers the DDP split).
+
+    ``num_workers``: decode-pool threads mapping ``dataset[i]`` concurrently
+    (cv2 decode/resize release the GIL) with a bounded in-flight window —
+    the reference's multi-worker DataLoader equivalent
+    (`train_cogvideo_to2v.py:1540-1550`). Measured (tools/
+    bench_data_pipeline.py, numbers in PERF.md): one sequential decoder
+    falls SHORT of the 0.123 items/s training-step budget at the production
+    2x49-frame 720x480 shape; the pool is the multi-core scaling mechanism
+    (throughput scales with host cores — cv2's decode loop drops the GIL).
+    """
     order = list(range(len(dataset)))
     rng = random.Random(seed)
     if shuffle:
@@ -467,6 +478,39 @@ def batch_iterator(
                     yield collate(dataset.load_many(idxs))
                 except (IOError, ValueError, FileNotFoundError):
                     continue
+            return
+        if num_workers > 0:
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            def try_get(i):
+                try:
+                    return dataset[i]
+                except (IOError, ValueError, FileNotFoundError):
+                    return None  # retry-on-unqualified semantics: skip
+
+            with ThreadPoolExecutor(num_workers) as ex:
+                it = iter(order)
+                inflight = deque()
+
+                def submit_next():
+                    i = next(it, None)
+                    if i is not None:
+                        inflight.append(ex.submit(try_get, i))
+
+                for _ in range(max(num_workers + 1, batch_size)):
+                    submit_next()
+                while inflight:
+                    item = inflight.popleft().result()
+                    submit_next()
+                    if item is None:
+                        continue
+                    batch.append(item)
+                    if len(batch) == batch_size:
+                        yield collate(batch)
+                        batch = []
+            if batch and not drop_last:
+                yield collate(batch)
             return
         for i in order:
             try:

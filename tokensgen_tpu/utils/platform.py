@@ -21,6 +21,13 @@ def apply_platform_env() -> None:
         return
     import jax
 
+    # `jax_platforms` is an exclusive priority list: setting it to just the
+    # accelerator platform would DROP the host backend, and the phase-offload
+    # orchestration needs `jax.devices("cpu")` for host-resident master trees.
+    # Keep cpu at the end (default backend = first entry, so this never
+    # changes which platform computes).
+    if "cpu" not in [p.strip() for p in plat.split(",")]:
+        plat = plat + ",cpu"
     try:
         jax.config.update("jax_platforms", plat)
     except RuntimeError:

@@ -55,6 +55,12 @@ def main():
     offload = (int(sys.argv[8]) if len(sys.argv) > 8 else
                (1 if layers > 24 else 0))
 
+    # argv[9]: run the REAL T5-XXL prompt-encode phase (default on) — the
+    # pipeline stage the reference runs at `pipeline_cogvideox_mp_fifo.py:
+    # 365-486`; 4.76B params bf16 live alone on the chip, then are freed
+    # before the VAE/DiT phases (the offload orchestration's phase 0)
+    use_t5 = int(sys.argv[9]) if len(sys.argv) > 9 else 1
+
     cfg = To2VConfig(
         height=480, width=720, num_frames_per_chunk=49,
         num_inference_steps=steps, num_partitions=parts, stochastic=False,
@@ -69,6 +75,37 @@ def main():
     r1, r2, r3 = jax.random.split(key, 3)
 
     t0 = time.time()
+
+    # --- phase 0: T5-XXL prompt encode (then freed) ---
+    if use_t5:
+        from tokensgen_tpu.models.t5 import T5Config, T5Encoder
+
+        t5cfg = T5Config.xxl()
+        t5 = T5Encoder(t5cfg)
+        t5_params = init_params_bf16(
+            t5.init, jax.random.PRNGKey(11),
+            jnp.zeros((1, 226), jnp.int32), jnp.ones((1, 226), bool))
+        n5 = param_count(t5_params)
+        rng_ids = np.random.default_rng(7)
+        ids = jnp.asarray(rng_ids.integers(3, 32000, size=(1, 226)), jnp.int32)
+        mask = jnp.asarray(np.ones((1, 226), bool))
+        neg_ids = jnp.zeros((1, 226), jnp.int32)  # all-pad "" prompt
+        neg_mask = jnp.asarray(
+            np.arange(226)[None, :] < 1)  # eos only attended
+        t5_fwd = jax.jit(lambda p, i, m: t5.apply(p, i, m))
+        t1 = time.time()
+        text_host = np.asarray(t5_fwd(t5_params, ids, mask).astype(jnp.float32))
+        neg_host = np.asarray(
+            t5_fwd(t5_params, neg_ids, neg_mask).astype(jnp.float32))
+        print(f"[{time.time()-t0:7.1f}s] T5-XXL prompt encode: "
+              f"{n5/1e9:.2f}B params, 2 prompts in {time.time()-t1:.1f}s "
+              "(incl. compile)", flush=True)
+        del t5_params  # frees ~9.5 GB before the VAE/DiT phases
+    else:
+        rng_ids = np.random.default_rng(7)
+        text_host = (rng_ids.normal(size=(1, 226, 4096)) * 0.02).astype(np.float32)
+        neg_host = np.zeros_like(text_host)
+
     vae_model = AutoencoderKLCogVideoX(vcfg)
     vae_params = init_params_bf16(
         vae_model.init, r1, jnp.zeros((1, 9, 480, 720, 3), jnp.bfloat16))
@@ -118,8 +155,8 @@ def main():
     # at a time to HBM (a device-resident 98-frame buffer costs ~200 MB of
     # the full-depth budget)
     frames = rng.uniform(-1, 1, size=(1, chunks * 49, 480, 720, 3)).astype(np.float32)
-    text = jnp.asarray(rng.normal(size=(1, 226, 4096)) * 0.02, jnp.bfloat16)
-    neg = jnp.zeros_like(text)
+    text = jnp.asarray(text_host, jnp.bfloat16)
+    neg = jnp.asarray(neg_host, jnp.bfloat16)
 
     t1 = time.time()
     out = pipe.generate(text, neg, frames=frames, num_chunks=chunks,

@@ -225,7 +225,12 @@ def main():
                 yield from batch_iterator(
                     ds, b, seed=cfg.get("seed", 42) + epoch,
                     num_shards=jax.process_count(),
-                    shard_index=jax.process_index())
+                    shard_index=jax.process_index(),
+                    # decode pool: one sequential cv2 decoder falls short of
+                    # the 16.3 s/step budget (tools/bench_data_pipeline.py,
+                    # PERF.md); reference uses a multi-worker DataLoader
+                    # (`train_cogvideo_to2v.py:1540-1550`)
+                    num_workers=cfg.get("dataloader_num_workers", 4))
                 epoch += 1
 
         batches = epoch_iter()
