@@ -26,11 +26,25 @@ assert jax.default_backend() == "cpu"
 
 import pytest  # noqa: E402
 
+# Heavyweight parity/oracle and end-to-end modules (measured with
+# --durations on the 8-device CPU mesh; each >1.5 min aggregate). They run
+# in the complete suite (plain `pytest`, ~51 min) but not the `-m quick`
+# iteration gate (<10 min). Quick still smokes every subsystem: schedule,
+# rope, attention, dit, fifo, data, config, tp, t2to, quant, checkpoint...
+_FULL_MODULES = {
+    "test_infer_cli", "test_multihost", "test_parity_reference",
+    "test_pipeline_to2v", "test_sampling_modes", "test_serving",
+    "test_t2to", "test_train_cli", "test_train_to2v", "test_vae3d",
+    "test_vip_v4", "test_vip_variants", "test_zero",
+}
+
 
 def pytest_collection_modifyitems(config, items):
     """Everything not explicitly `slow`/`full` is `quick`, so `pytest -m quick`
     is the fast iteration gate and `pytest` (no -m) stays the complete suite."""
     for item in items:
+        if item.module.__name__ in _FULL_MODULES:
+            item.add_marker(pytest.mark.full)
         if (item.get_closest_marker("slow") is None
                 and item.get_closest_marker("full") is None):
             item.add_marker(pytest.mark.quick)
