@@ -87,6 +87,23 @@ def test_generate_end_to_end(pipe):
     assert np.isfinite(np.asarray(out["video"])).all()
 
 
+def test_generate_skip_fifo(pipe):
+    """skip_fifo=True stops after the base denoise: same orig_latents as the
+    full run (same rng split), no FIFO outputs."""
+    rng = np.random.default_rng(7)
+    frames = jnp.asarray(rng.uniform(-1, 1, size=(1, 18, 32, 48, 3)), jnp.float32)
+    text = jnp.asarray(rng.normal(size=(1, 8, 24)), jnp.float32)
+    neg = jnp.zeros_like(text)
+    full = pipe.generate(text, neg, frames=frames, num_chunks=2,
+                         rng=jax.random.PRNGKey(9), decode=False)
+    base = pipe.generate(text, neg, frames=frames, num_chunks=2,
+                         rng=jax.random.PRNGKey(9), decode=False,
+                         skip_fifo=True)
+    assert set(base.keys()) == {"orig_latents"}
+    np.testing.assert_array_equal(
+        np.asarray(full["orig_latents"]), np.asarray(base["orig_latents"]))
+
+
 def test_generate_sharded_queue(pipe):
     from tokensgen_tpu.sharding import MeshSpec, make_mesh
 

@@ -516,8 +516,14 @@ class To2VPipeline:
         decode: bool = True,
         offload_vae: bool = False,
         host_loop: bool = False,
+        emit_callback=None,
+        skip_fifo: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         """Full edit/generation run: base pass -> FIFO -> (optional) decode.
+
+        ``skip_fifo``: stop after the base N-step denoise (returns
+        ``orig_latents``/``orig_video`` only) — used by numerics studies that
+        probe the plain multi-step denoise without the FIFO stage.
 
         ``offload_vae``: park the VAE params in host memory during the denoise
         phase (restored before decoding) — the production To2V stack's params
@@ -578,6 +584,17 @@ class To2VPipeline:
             prompt_embeds, negative_embeds, image_embeddings, num_chunks, r_base,
             host_loop=host_loop,
         )
+        if skip_fifo:
+            out = {"orig_latents": res.latents}
+            if decode and self.vae is not None:
+                if offload_vae:
+                    jax.block_until_ready(res.latents)
+                    self.dit_params = self._dit_params_host
+                    self.vae.restore_to_device()
+                    self.resampler_params = jax.device_put(
+                        self._resampler_params_host, jax.devices()[0])
+                out["orig_video"] = self.decode_latents(res.latents)
+            return out
         seed = self.fifo_seed(res, image_rope, image_embeddings, num_chunks)
 
         fcfg = fifo_engine.FIFOConfig(
@@ -604,6 +621,7 @@ class To2VPipeline:
         fifo_res = fifo_engine.fifo_generate(
             model_fn, {"params": self.dit_params["params"]}, self.sched, fcfg, seed,
             rng=r_fifo, cache_idx=cache_idx, mesh=mesh, host_loop=host_loop,
+            emit_callback=emit_callback,
         )
 
         out = {

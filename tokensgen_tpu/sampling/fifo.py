@@ -150,6 +150,7 @@ def fifo_generate(
     cache_idx: Tuple[int, ...] = (),
     mesh: Optional[Mesh] = None,
     host_loop: bool = False,
+    emit_callback: Optional[Callable] = None,
 ) -> FIFOResult:
     """Run the FIFO loop.
 
@@ -166,6 +167,11 @@ def fifo_generate(
     host instead of one lax.scan over all iterations — same numerics, bounded
     per-execution duration (needed on runtimes that cap a single execution's
     wall time), per-iteration progress.
+
+    ``emit_callback(i, emitted_np)`` (host_loop only): invoked after each
+    iteration's emitted frame lands on the host — lets long tunnel runs
+    checkpoint the emission series incrementally so a mid-run failure still
+    yields the frames produced so far.
     """
     nf, r_nf, l_nf = fcfg.nf_per_chunk, fcfg.r_nf, fcfg.l_nf
     R, Q = fcfg.num_ranks, fcfg.queue_len
@@ -432,6 +438,8 @@ def fifo_generate(
             state, (em, caches_i) = it_fn(
                 params, state, (jnp.asarray(i, jnp.int32), keys[i]))
             em_list.append(np.asarray(em) if to_host else em)
+            if emit_callback is not None and to_host:
+                emit_callback(i, em_list[-1])
             if caches_i is not None:
                 cx_list.append(np.asarray(caches_i[0]) if to_host else caches_i[0])
                 cv_list.append(np.asarray(caches_i[1]) if to_host else caches_i[1])

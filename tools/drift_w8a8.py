@@ -1,18 +1,33 @@
 """w8a8 full-depth drift study (VERDICT r3 item 3).
 
-Runs the production To2V edit e2e TWICE on one chip — bf16 vs `quant: w8a8`
+Runs the production To2V edit e2e twice on one chip — bf16 vs `quant: w8a8`
 over the SAME weights, identical seeds/noise — and reports error propagation
 through 42 layers x N DPM steps x FIFO recycling:
 
 * latent MSE (relative to bf16 latent variance) per emitted FIFO iteration,
-* decoded PSNR per emitted frame between the two videos,
-* base-clip (orig) decoded PSNR — the plain N-step denoise drift.
+* base-clip (N-step denoise) relative latent MSE,
+* decoded PSNR when --decode is given (rebuilds the seed-deterministic VAE).
 
 Random weights are fine for numerics (the question is quantization error
 growth, not sample quality). Reference workload being mirrored:
 `cogvideo_sampling_mp_fifo.py:492-550`.
 
-Usage: python tools/drift_w8a8.py [steps] [chunks] [layers] [ff_chunks]
+The two arms run as SEPARATE processes: the bf16 arm's 14.3 GB resident DiT
+leaves ~10 MB of HBM headroom on a 16 GB v5e, and allocator fragmentation
+over ~50 host-loop iterations killed single-process runs twice. Each arm
+checkpoints its emitted-frame series to disk after every FIFO iteration
+(`emit_callback`), so a mid-run failure still yields the drift curve up to
+that point.
+
+Usage:
+  python tools/drift_w8a8.py run bf16  [steps] [chunks] [layers] [ff_chunks]
+  python tools/drift_w8a8.py run w8a8  [steps] [chunks] [layers] [ff_chunks]
+  python tools/drift_w8a8.py compare   [steps] [chunks] [layers]
+  python tools/drift_w8a8.py run-base {bf16,w8a8} [steps] [chunks] [layers]
+  python tools/drift_w8a8.py compare-base         [steps] [chunks] [layers]
+
+`run-base`/`compare-base` probe the plain N-step base denoise (no FIFO) —
+the VERDICT item's second workload, e.g. the reference's 52-step DPM run.
 """
 
 import json
@@ -28,19 +43,13 @@ from tokensgen_tpu.utils.platform import apply_platform_env
 
 apply_platform_env()  # honor JAX_PLATFORMS=cpu for tiny-config validation runs
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from tokensgen_tpu.core import schedule as S
-from tokensgen_tpu.models.dit import (
-    CogVideoXTransformer, DiTConfig, VIPConfig, graft_vip_params,
-    quantize_dit_params,
-)
-from tokensgen_tpu.models.resampler import Resampler, ResamplerConfig
-from tokensgen_tpu.models.vae3d import AutoencoderKLCogVideoX, VAEConfig, VAERunner
-from tokensgen_tpu.pipelines.to2v import To2VConfig, To2VPipeline
-from tokensgen_tpu.utils.params import init_params_bf16, param_count
+OUT_DIR = "/tmp/drift4"
+
+
+def tag(steps, chunks, layers):
+    return f"s{steps}_c{chunks}_l{layers}"
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -51,11 +60,21 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(4.0 / mse)
 
 
-def main():
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 13
-    chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    layers = int(sys.argv[3]) if len(sys.argv) > 3 else 42
-    ff_chunks = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+def build(arm, steps, chunks, layers, ff_chunks, want_vae=True):
+    import jax
+    import jax.numpy as jnp
+
+    from tokensgen_tpu.core import schedule as S
+    from tokensgen_tpu.core.rope import get_3d_rotary_pos_embed_v2
+    from tokensgen_tpu.models.dit import (
+        CogVideoXTransformer, DiTConfig, VIPConfig, graft_vip_params,
+        quantize_dit_params,
+    )
+    from tokensgen_tpu.models.resampler import Resampler, ResamplerConfig
+    from tokensgen_tpu.models.vae3d import (
+        AutoencoderKLCogVideoX, VAEConfig, VAERunner)
+    from tokensgen_tpu.pipelines.to2v import To2VConfig, To2VPipeline
+    from tokensgen_tpu.utils.params import init_params_bf16, param_count
 
     cfg = To2VConfig(
         height=480, width=720, num_frames_per_chunk=49,
@@ -79,8 +98,6 @@ def main():
     rs_params = init_params_bf16(
         rs.init, r2, jnp.zeros((1, cfg.nf_latent, 2, rcfg.embedding_dim),
                                jnp.bfloat16))
-
-    from tokensgen_tpu.core.rope import get_3d_rotary_pos_embed_v2
 
     d = 64
     rope = get_3d_rotary_pos_embed_v2(d, np.arange(13), np.arange(30), np.arange(45))
@@ -111,66 +128,199 @@ def main():
     text = jnp.asarray(rng_src.normal(size=(1, 226, 4096)) * 0.02, jnp.bfloat16)
     neg = jnp.zeros_like(text)
 
-    results = {}
-    for arm in ("bf16", "w8a8"):
-        import dataclasses as dc
+    import dataclasses as dc
 
-        dcfg = dc.replace(dcfg0, quant=None if arm == "bf16" else "w8a8")
-        with jax.default_device(jax.devices("cpu")[0]):
-            params = (master if arm == "bf16"
-                      else {"params": quantize_dit_params(master["params"], dcfg)})
-        pipe = To2VPipeline(cfg, dcfg, params, rcfg, rs_params, vae_runner, sched)
-        del params
-        t1 = time.time()
-        out = pipe.generate(text, neg, frames=frames, num_chunks=chunks,
-                            rng=jax.random.PRNGKey(2), offload_vae=True,
-                            host_loop=True)
-        results[arm] = {
-            "latents": np.asarray(out["latents"].astype(jnp.float32)),
-            "video": np.asarray(out["video"].astype(jnp.float32)),
-            "orig": np.asarray(out["orig_video"].astype(jnp.float32)),
-        }
-        print(f"[{time.time()-t0:7.1f}s] {arm} run: {time.time()-t1:.1f}s, "
-              f"latents {results[arm]['latents'].shape}", flush=True)
-        del out, pipe
+    dcfg = dc.replace(dcfg0, quant=None if arm == "bf16" else "w8a8")
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = (master if arm == "bf16"
+                  else {"params": quantize_dit_params(master["params"], dcfg)})
+    pipe = To2VPipeline(cfg, dcfg, params, rcfg, rs_params, vae_runner, sched)
+    return pipe, frames, text, neg, t0
 
-    # emitted clean frames [B, num_frames, C, H, W]: frame i was popped at
-    # FIFO iteration i (post warm-up) -> per-iteration drift series
-    lb = results["bf16"]["latents"][0]
-    lq = results["w8a8"]["latents"][0]
-    lb = lb.reshape(lb.shape[0], -1)
-    lq = lq.reshape(lq.shape[0], -1)
-    var = float(np.var(results["bf16"]["latents"]))
-    rel_mse = [float(np.mean((a - b) ** 2)) / max(var, 1e-12)
-               for a, b in zip(lb, lq)]
-    vb, vq = results["bf16"]["video"][0], results["w8a8"]["video"][0]
-    frame_psnr = [psnr(vb[i], vq[i]) for i in range(vb.shape[0])]
-    orig_psnr = psnr(results["bf16"]["orig"], results["w8a8"]["orig"])
+
+def run_arm(arm, steps, chunks, layers, ff_chunks):
+    import jax
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    prefix = os.path.join(OUT_DIR, f"{arm}_{tag(steps, chunks, layers)}")
+    pipe, frames, text, neg, t0 = build(arm, steps, chunks, layers, ff_chunks)
+
+    em_series = []
+
+    def on_emit(i, em_np):
+        em_series.append(em_np.astype(np.float32))
+        # rewrite the whole partial series each iteration (~2 MB * iters):
+        # a crash at any point leaves the curve up to that iteration
+        np.save(prefix + "_em_partial.npy", np.stack(em_series))
+        if i % 5 == 0:
+            print(f"[{time.time()-t0:7.1f}s] fifo iter {i} landed", flush=True)
+
+    t1 = time.time()
+    out = pipe.generate(text, neg, frames=frames, num_chunks=chunks,
+                        rng=jax.random.PRNGKey(2), offload_vae=True,
+                        host_loop=True, decode=False, emit_callback=on_emit)
+    import jax.numpy as jnp
+    np.savez(prefix + ".npz",
+             latents=np.asarray(out["latents"].astype(jnp.float32)),
+             orig_latents=np.asarray(out["orig_latents"].astype(jnp.float32)))
+    print(f"[{time.time()-t0:7.1f}s] {arm} run: {time.time()-t1:.1f}s  "
+          f"-> {prefix}.npz", flush=True)
+
+
+def run_base(arm, steps, chunks, layers, ff_chunks):
+    """bf16-vs-w8a8 drift through the plain N-step base denoise (no FIFO)."""
+    import jax
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    prefix = os.path.join(OUT_DIR, f"base_{arm}_{tag(steps, chunks, layers)}")
+    pipe, frames, text, neg, t0 = build(arm, steps, chunks, layers, ff_chunks)
+    t1 = time.time()
+    out = pipe.generate(text, neg, frames=frames, num_chunks=chunks,
+                        rng=jax.random.PRNGKey(2), offload_vae=True,
+                        host_loop=True, decode=False, skip_fifo=True)
+    import jax.numpy as jnp
+    np.save(prefix + ".npy",
+            np.asarray(out["orig_latents"].astype(jnp.float32)))
+    print(f"[{time.time()-t0:7.1f}s] {arm} base-denoise run: "
+          f"{time.time()-t1:.1f}s  -> {prefix}.npy", flush=True)
+
+
+def compare_base(steps, chunks, layers):
+    pb = os.path.join(OUT_DIR, f"base_bf16_{tag(steps, chunks, layers)}.npy")
+    pq = os.path.join(OUT_DIR, f"base_w8a8_{tag(steps, chunks, layers)}.npy")
+    ob, oq = np.load(pb), np.load(pq)
+    rel = float(np.mean((ob - oq) ** 2)) / max(float(np.var(ob)), 1e-12)
+    summary = {"steps": steps, "chunks": chunks, "layers": layers,
+               "base_rel_latent_mse": rel}
+    print(f"base {steps}-step denoise rel latent MSE (w8a8 vs bf16): {rel:.6f}")
+    print("DRIFT_BASE_SUMMARY " + json.dumps(summary), flush=True)
+    out_path = os.path.join(
+        OUT_DIR, f"drift_base_w8a8_{tag(steps, chunks, layers)}.json")
+    with open(out_path, "w") as f:
+        json.dump(summary, f)
+    print(f"wrote {out_path}", flush=True)
+
+
+def load_arm(arm, steps, chunks, layers):
+    """Return (em_series [iters,B,C,H,W], orig_latents|None, complete)."""
+    prefix = os.path.join(OUT_DIR, f"{arm}_{tag(steps, chunks, layers)}")
+    if os.path.exists(prefix + ".npz"):
+        z = np.load(prefix + ".npz")
+        em = np.load(prefix + "_em_partial.npy")
+        return em, z["orig_latents"], True
+    if os.path.exists(prefix + "_em_partial.npy"):
+        return np.load(prefix + "_em_partial.npy"), None, False
+    raise FileNotFoundError(f"no drift output for arm {arm} at {prefix}*")
+
+
+def compare(steps, chunks, layers, decode=False):
+    eb, ob, cb = load_arm("bf16", steps, chunks, layers)
+    eq, oq, cq = load_arm("w8a8", steps, chunks, layers)
+    n = min(eb.shape[0], eq.shape[0])
+    print(f"bf16 iters={eb.shape[0]} (complete={cb})  "
+          f"w8a8 iters={eq.shape[0]} (complete={cq})  comparing first {n}")
+    var = float(np.var(eb[:n]))
+    rel_mse = [float(np.mean((eb[i] - eq[i]) ** 2)) / max(var, 1e-12)
+               for i in range(n)]
+    summary = {
+        "steps": steps, "chunks": chunks, "layers": layers,
+        "iters_compared": n,
+        "bf16_complete": cb, "w8a8_complete": cq,
+        "rel_latent_mse_first": rel_mse[0], "rel_latent_mse_last": rel_mse[-1],
+        "rel_latent_mse_max": max(rel_mse),
+    }
+    if ob is not None and oq is not None:
+        ovar = float(np.var(ob))
+        summary["orig_rel_latent_mse"] = float(
+            np.mean((ob - oq) ** 2)) / max(ovar, 1e-12)
+    frame_psnr = None
+    if decode:
+        # rebuild the seed-deterministic VAE on the current backend and
+        # decode both emitted series (warm-up frames dropped) for PSNR
+        import jax
+        import jax.numpy as jnp
+
+        from tokensgen_tpu.models.vae3d import (
+            AutoencoderKLCogVideoX, VAEConfig, VAERunner)
+        from tokensgen_tpu.utils.params import init_params_bf16
+
+        vcfg = VAEConfig.cogvideox(dtype=jnp.bfloat16)
+        r1 = jax.random.split(jax.random.PRNGKey(0), 3)[0]
+        vae_model = AutoencoderKLCogVideoX(vcfg)
+        vae_params = init_params_bf16(
+            vae_model.init, r1, jnp.zeros((1, 9, 480, 720, 3), jnp.bfloat16))
+        runner = VAERunner(vcfg, vae_params)
+        nf = 13
+        warm = steps - nf
+        vids = {}
+        for name, em in (("bf16", eb), ("w8a8", eq)):
+            lat = em[warm:n].transpose(1, 0, 2, 3, 4)  # [B, F, C, h, w]
+            t_use = (lat.shape[1] // nf) * nf
+            if t_use == 0:
+                print("decode: not enough post-warm-up frames; skipping")
+                break
+            # mirror To2VPipeline.decode_latents: unscale, channels-last,
+            # chunked causal decode
+            z = jnp.asarray(lat[:, :t_use]) / vcfg.scaling_factor
+            z = z.transpose(0, 1, 3, 4, 2)
+            parts = [runner.decode(z[:, s:s + nf])
+                     for s in range(0, t_use, nf)]
+            vids[name] = np.asarray(jnp.concatenate(parts, axis=1))
+        if len(vids) == 2:
+            vb, vq = vids["bf16"][0], vids["w8a8"][0]
+            frame_psnr = [psnr(vb[i], vq[i]) for i in range(vb.shape[0])]
+            summary["frame_psnr_min"] = min(frame_psnr)
+            summary["frame_psnr_mean"] = float(np.mean(frame_psnr))
 
     print("\n=== w8a8 drift vs bf16 (same weights, same noise) ===", flush=True)
     print(f"steps={steps} chunks={chunks} layers={layers}")
-    print(f"base-clip ({steps}-step denoise) decoded PSNR: {orig_psnr:.2f} dB")
-    print("per-FIFO-iteration relative latent MSE "
-          "(emitted frame i vs bf16 variance):")
-    for i in range(0, len(rel_mse), max(1, len(rel_mse) // 16)):
-        print(f"  iter {i:3d}: rel MSE {rel_mse[i]:.4f}   "
-              f"decoded PSNR {frame_psnr[min(i, len(frame_psnr)-1)]:.2f} dB")
-    print(f"  last   : rel MSE {rel_mse[-1]:.4f}   "
-          f"decoded PSNR {frame_psnr[-1]:.2f} dB")
-    summary = {
-        "steps": steps, "chunks": chunks, "layers": layers,
-        "orig_psnr_db": orig_psnr,
-        "rel_latent_mse_first": rel_mse[0], "rel_latent_mse_last": rel_mse[-1],
-        "rel_latent_mse_max": max(rel_mse),
-        "frame_psnr_min": min(frame_psnr), "frame_psnr_mean":
-            float(np.mean(frame_psnr)),
-    }
+    if "orig_rel_latent_mse" in summary:
+        print(f"base-clip ({steps}-step denoise) rel latent MSE: "
+              f"{summary['orig_rel_latent_mse']:.5f}")
+    print("per-FIFO-iteration relative latent MSE (emitted frame i):")
+    for i in range(0, n, max(1, n // 16)):
+        extra = (f"   decoded PSNR {frame_psnr[i - (steps - 13)]:.2f} dB"
+                 if frame_psnr and 0 <= i - (steps - 13) < len(frame_psnr)
+                 else "")
+        print(f"  iter {i:3d}: rel MSE {rel_mse[i]:.5f}{extra}")
+    print(f"  last   : rel MSE {rel_mse[-1]:.5f}")
     print("DRIFT_SUMMARY " + json.dumps(summary), flush=True)
-    out_path = f"/tmp/drift_w8a8_s{steps}_c{chunks}_l{layers}.json"
+    out_path = os.path.join(
+        OUT_DIR, f"drift_w8a8_{tag(steps, chunks, layers)}.json")
     with open(out_path, "w") as f:
         json.dump({"summary": summary, "rel_mse": rel_mse,
                    "frame_psnr": frame_psnr}, f)
     print(f"wrote {out_path}", flush=True)
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "compare"
+    if mode == "run":
+        arm = sys.argv[2]
+        steps = int(sys.argv[3]) if len(sys.argv) > 3 else 13
+        chunks = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+        layers = int(sys.argv[5]) if len(sys.argv) > 5 else 42
+        ff_chunks = int(sys.argv[6]) if len(sys.argv) > 6 else 8
+        run_arm(arm, steps, chunks, layers, ff_chunks)
+    elif mode == "run-base":
+        arm = sys.argv[2]
+        steps = int(sys.argv[3]) if len(sys.argv) > 3 else 52
+        chunks = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+        layers = int(sys.argv[5]) if len(sys.argv) > 5 else 42
+        ff_chunks = int(sys.argv[6]) if len(sys.argv) > 6 else 8
+        run_base(arm, steps, chunks, layers, ff_chunks)
+    elif mode == "compare-base":
+        steps = int(sys.argv[2]) if len(sys.argv) > 2 else 52
+        chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+        layers = int(sys.argv[4]) if len(sys.argv) > 4 else 42
+        compare_base(steps, chunks, layers)
+    elif mode == "compare":
+        steps = int(sys.argv[2]) if len(sys.argv) > 2 else 13
+        chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+        layers = int(sys.argv[4]) if len(sys.argv) > 4 else 42
+        compare(steps, chunks, layers, decode="--decode" in sys.argv)
+    else:
+        raise SystemExit(__doc__)
 
 
 if __name__ == "__main__":
