@@ -596,6 +596,15 @@ class To2VPipeline:
                 out["orig_video"] = self.decode_latents(res.latents)
             return out
         seed = self.fifo_seed(res, image_rope, image_embeddings, num_chunks)
+        orig_latents = res.latents
+        if host_loop and mesh is None:
+            # single-chip host-loop runs sit within MBs of the HBM edge with
+            # the full DiT resident: land the base-pass latents now (the seed
+            # already holds what FIFO needs) instead of keeping a live device
+            # buffer through ~n_iters dispatches and transferring it after —
+            # the post-FIFO transfer is exactly what OOM'd at full depth.
+            orig_latents = np.asarray(orig_latents)
+            res = None
 
         fcfg = fifo_engine.FIFOConfig(
             nf_per_chunk=cfg.nf_latent,
@@ -626,7 +635,7 @@ class To2VPipeline:
 
         out = {
             "latents": fifo_res.latents,
-            "orig_latents": res.latents,
+            "orig_latents": orig_latents,
             "cache_x0": fifo_res.cache_x0,
             "cache_valid": fifo_res.cache_valid,
         }
@@ -636,13 +645,14 @@ class To2VPipeline:
                 # the device buffers drop with their last reference), VAE
                 # back on device
                 jax.block_until_ready(fifo_res.latents)
-                jax.block_until_ready(res.latents)
+                if res is not None:
+                    jax.block_until_ready(orig_latents)
                 self.dit_params = self._dit_params_host
                 self.vae.restore_to_device()
                 self.resampler_params = jax.device_put(
                     self._resampler_params_host, jax.devices()[0])
             out["video"] = self.decode_latents(fifo_res.latents)
-            out["orig_video"] = self.decode_latents(res.latents)
+            out["orig_video"] = self.decode_latents(jnp.asarray(orig_latents))
             if fifo_res.cache_x0 is not None:
                 # cache tracks: one output frame's x0 across its denoise
                 # trajectory, decoded as a video (`infer_cogvideo_mp_fifo.py:

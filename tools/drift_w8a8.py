@@ -159,10 +159,11 @@ def run_arm(arm, steps, chunks, layers, ff_chunks):
     out = pipe.generate(text, neg, frames=frames, num_chunks=chunks,
                         rng=jax.random.PRNGKey(2), offload_vae=True,
                         host_loop=True, decode=False, emit_callback=on_emit)
-    import jax.numpy as jnp
+    # host-side casts only: with the DiT resident, HBM has no headroom for
+    # even a small device-side astype/transfer staging buffer at this point
     np.savez(prefix + ".npz",
-             latents=np.asarray(out["latents"].astype(jnp.float32)),
-             orig_latents=np.asarray(out["orig_latents"].astype(jnp.float32)))
+             latents=np.asarray(out["latents"]).astype(np.float32),
+             orig_latents=np.asarray(out["orig_latents"]).astype(np.float32))
     print(f"[{time.time()-t0:7.1f}s] {arm} run: {time.time()-t1:.1f}s  "
           f"-> {prefix}.npz", flush=True)
 
@@ -178,9 +179,8 @@ def run_base(arm, steps, chunks, layers, ff_chunks):
     out = pipe.generate(text, neg, frames=frames, num_chunks=chunks,
                         rng=jax.random.PRNGKey(2), offload_vae=True,
                         host_loop=True, decode=False, skip_fifo=True)
-    import jax.numpy as jnp
     np.save(prefix + ".npy",
-            np.asarray(out["orig_latents"].astype(jnp.float32)))
+            np.asarray(out["orig_latents"]).astype(np.float32))
     print(f"[{time.time()-t0:7.1f}s] {arm} base-denoise run: "
           f"{time.time()-t1:.1f}s  -> {prefix}.npy", flush=True)
 
