@@ -105,7 +105,8 @@ def build_pipeline(cfg, smoke: bool):
         dcfg = DiTConfig.tiny(vip=vc, sample_height=4, sample_width=6,
                               quant=cfg.get("quant") or None,
                               quant_attn=cfg.get("quant_attn", False),
-                              fuse_qkv=cfg.get("fuse_qkv", True))
+                              fuse_qkv=cfg.get("fuse_qkv",
+                                               not cfg.get("quant")))
         rcfg = ResamplerConfig.tiny(embedding_dim=dcfg.inner_dim, output_dim=24,
                                     num_temporal_queries=2, num_height_queries=2,
                                     num_width_queries=3)
@@ -128,14 +129,17 @@ def build_pipeline(cfg, smoke: bool):
         )
         # ff_chunks=4: the CFG-batched (B=2) 7.17B forward only fits a 16 GB
         # chip with the joint-FF gelu intermediate capped (identical math)
-        # fuse_qkv=True: identical math, ~6% faster step (PERF.md round 3)
+        # fuse_qkv: identical math, ~6% faster bf16 step — but the int8 path
+        # prefers the narrower unfused matmuls (6.00 vs 6.13 s measured), so
+        # the default follows the quant mode (PERF.md rounds 3-4)
         # quant_attn: int8 score matmul in the flash kernel — measured 1.04x
         # on attention with ~2x the bf16 kernel's output noise; off by default
         # even under quant=w8a8 (PERF.md round 3)
         dcfg = DiTConfig.cogvideox_5b(vip=vc, ff_chunks=4,
                                       quant=cfg.get("quant") or None,
                                       quant_attn=cfg.get("quant_attn", False),
-                                      fuse_qkv=cfg.get("fuse_qkv", True))
+                                      fuse_qkv=cfg.get("fuse_qkv",
+                                                       not cfg.get("quant")))
         rcfg = ResamplerConfig(**{k: v for k, v in rp.items()
                                   if k in ResamplerConfig.__dataclass_fields__})
         vcfg = VAEConfig.cogvideox()
