@@ -42,6 +42,23 @@ def _load_converted(cfg, name):
     return tree
 
 
+def _report_weight_provenance(prov: dict, smoke: bool) -> None:
+    """One summary line of where every module's weights came from, plus a loud
+    warning when a non-smoke run is conditioned on random inits. The reference
+    CLI always runs real checkpoints (`infer_cogvideo_mp_fifo.py:138-183`);
+    here weights-free environments fall back to random params, which is fine
+    for perf/e2e work but must never pass silently in a production run."""
+    print("weights: " + "  ".join(f"{k}={v}" for k, v in prov.items()),
+          flush=True)
+    rand = [k for k, v in prov.items() if v.startswith("random")]
+    if rand and not smoke:
+        print("WARNING: non-smoke run with RANDOM weights for: "
+              + ", ".join(rand)
+              + " — outputs are not real videos. Set `converted_weights_dir` "
+              "(convert_weights.py) or `pretrained_model_name_or_path`.",
+              flush=True)
+
+
 def _tree_has_vip(tree) -> bool:
     """True when any key in the nested param tree belongs to the VIP branch."""
     if isinstance(tree, dict):
@@ -99,10 +116,26 @@ def build_pipeline(cfg, smoke: bool):
 
     vp = cfg.get("video_ipadapter_params", {})
     rp = vp.get("resampler_params", {})
+    # `sp_devices`: Ulysses sequence parallelism over the mesh `model` axis —
+    # attention all_to_alls seq<->heads, dense/FF run sequence-sharded
+    # (kernels/attention.py sp_axis; SURVEY §2.3 optional SP target). The
+    # production joint sequence (18,256) and 48 heads divide by 2/4/8/16.
+    # Mutually exclusive with queue sharding (one parallel axis per run).
+    sp = int(cfg.get("sp_devices", 1))
+    if sp > 1:
+        if sp > jax.device_count():
+            raise ValueError(f"sp_devices={sp} exceeds {jax.device_count()} devices")
+        from tokensgen_tpu.sharding import MeshSpec as _MS, make_mesh as _mm
+
+        jax.set_mesh(_mm(_MS(data=1, model=sp)))
+        print(f"sequence parallel: sp={sp} (Ulysses, mesh `model` axis)",
+              flush=True)
+    sp_axis = "model" if sp > 1 else None
     if smoke:
         vc = VIPConfig(output_dim=24, num_temporal_queries=2, num_height_queries=2,
                        num_width_queries=3, length=3 * 2 * 3)
         dcfg = DiTConfig.tiny(vip=vc, sample_height=4, sample_width=6,
+                              sp_axis=sp_axis,
                               quant=cfg.get("quant") or None,
                               quant_attn=cfg.get("quant_attn", False),
                               fuse_qkv=cfg.get("fuse_qkv",
@@ -135,7 +168,7 @@ def build_pipeline(cfg, smoke: bool):
         # quant_attn: int8 score matmul in the flash kernel — measured 1.04x
         # on attention with ~2x the bf16 kernel's output noise; off by default
         # even under quant=w8a8 (PERF.md round 3)
-        dcfg = DiTConfig.cogvideox_5b(vip=vc, ff_chunks=4,
+        dcfg = DiTConfig.cogvideox_5b(vip=vc, ff_chunks=4, sp_axis=sp_axis,
                                       quant=cfg.get("quant") or None,
                                       quant_attn=cfg.get("quant_attn", False),
                                       fuse_qkv=cfg.get("fuse_qkv",
@@ -166,14 +199,17 @@ def build_pipeline(cfg, smoke: bool):
     r1, r2, r3 = jax.random.split(rng, 3)
 
     # weights: converted checkpoints when configured, random init otherwise
+    prov = {}
     ckpt = cfg.get("pretrained_model_name_or_path")
     vae_model = AutoencoderKLCogVideoX(vcfg)
     vae_tree = _load_converted(cfg, "vae")
     if vae_tree is not None:
         vae_params = {"params": vae_tree}
+        prov["vae"] = "converted"
     else:
         vae_params = vae_model.init(
             r1, jnp.zeros((1, pcfg.num_frames_per_chunk, pcfg.height, pcfg.width, 3)))
+        prov["vae"] = "random"
     vae = VAERunner(vcfg, vae_params, use_tiling=not smoke)
 
     rs = Resampler(rcfg)
@@ -182,9 +218,11 @@ def build_pipeline(cfg, smoke: bool):
     rs_tree = _load_converted(cfg, "resampler")
     if rs_tree is not None:
         rs_params = {"params": rs_tree}
+        prov["resampler"] = "converted"
     else:
         rs_params = rs.init(
             r2, jnp.zeros((1, pcfg.nf_latent, hp * wp, rcfg.embedding_dim)))
+        prov["resampler"] = "random"
 
     from tokensgen_tpu.core.rope import get_3d_rotary_pos_embed_v2
     d = dcfg.attention_head_dim
@@ -208,6 +246,7 @@ def build_pipeline(cfg, smoke: bool):
                 "false). Re-convert with TokensGen-To2V/vip.pt in place; VIP-"
                 "conditioned inference needs the trained adapters.")
         dit_params = {"params": dit_tree}
+        prov["to2v_dit"] = "converted"
     else:
         # random init only when no converted tree exists — the full 5b init is
         # expensive and would be discarded
@@ -232,8 +271,10 @@ def build_pipeline(cfg, smoke: bool):
             from tokensgen_tpu.convert.torch_weights import convert_dit
             dit_params = {"params": convert_dit(sd, dcfg)}
             print(f"loaded DiT weights from {ckpt}", flush=True)
+            prov["to2v_dit"] = "torch-checkpoint"
         else:
             dit_params = {"params": graft_vip_params(dit_params["params"], dcfg)}
+            prov["to2v_dit"] = "random(grafted vip)"
     if dcfg.fuse_qkv:
         from tokensgen_tpu.models.dit import fuse_qkv_params
         dit_params = {"params": fuse_qkv_params(dit_params["params"],
@@ -254,6 +295,7 @@ def build_pipeline(cfg, smoke: bool):
         if enc_dir and os.path.isdir(enc_dir):
             image_encoder = load_dinov2(enc_dir)
             print(f"loaded DINOv2 image encoder from {enc_dir}", flush=True)
+            prov["dinov2"] = "checkpoint"
         else:
             ecfg = DINOv2Config.tiny() if smoke else DINOv2Config.large()
             enc = DINOv2Encoder(ecfg)
@@ -261,7 +303,9 @@ def build_pipeline(cfg, smoke: bool):
                 jax.random.PRNGKey(7),
                 jnp.zeros((1, 3, ecfg.image_size, ecfg.image_size)))
             image_encoder = (enc, enc_params)
+            prov["dinov2"] = "random"
 
+    _report_weight_provenance(prov, smoke)
     sched = S.make_schedule(S.ScheduleConfig())
     return To2VPipeline(pcfg, dcfg, dit_params, rcfg, rs_params, vae, sched,
                         image_encoder=image_encoder), dcfg
@@ -337,10 +381,13 @@ def main():
         # converted TokensGen-T2To weights when available (the full-finetune
         # transformer exported by convert_weights.py as t2to_dit.safetensors);
         # random init is the weights-free fallback only
+        t2prov = {}
         t2_tree = _load_converted(cfg, "t2to_dit")
         if t2_tree is not None:
             t2params = {"params": t2_tree}
+            t2prov["t2to_dit"] = "converted"
         else:
+            t2prov["t2to_dit"] = "random"
             t2params = t2model.init(
                 jax.random.PRNGKey(1),
                 jnp.zeros((1, f0, t2cfg.latent_channels, t2cfg.height, t2cfg.width)),
@@ -358,7 +405,9 @@ def main():
                 components=jnp.asarray(pca_sd["components_"]))
             mean = jnp.asarray(np.load(cfg.longvgen_mean))
             std = jnp.asarray(np.load(cfg.longvgen_std))
+            t2prov["pca"] = "artifacts"
         else:
+            t2prov["pca"] = "random(identity-scale)"
             rng0 = np.random.default_rng(0)
             # sample count >= token_dim: inverse_transform needs the full
             # square component matrix (SVD yields min(n_samples, dim) comps)
@@ -368,12 +417,16 @@ def main():
                             jnp.float32), None)
             mean = jnp.zeros((1, t2cfg.token_dim))
             std = jnp.ones((1, t2cfg.token_dim))
+        _report_weight_provenance(t2prov, args.smoke)
         t2to_pipe = T2ToPipeline(t2cfg, t2dcfg, t2params, pca=pca_state,
                                  token_mean=mean, token_std=std)
 
     mesh = None
     nq = args.queue_devices or cfg.get_path("sampling_params.queue_devices", 1)
     if nq > 1:
+        if int(cfg.get("sp_devices", 1)) > 1:
+            raise ValueError("sp_devices and queue_devices are mutually "
+                             "exclusive — pick one parallel axis per run")
         mesh = make_mesh(MeshSpec(data=1, queue=nq))
 
     for item in items:

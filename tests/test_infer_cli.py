@@ -101,6 +101,21 @@ def test_infer_smoke_dynamic_cfg(tmp_path):
 
 
 @pytest.mark.slow
+def test_infer_smoke_sequence_parallel(tmp_path):
+    """`sp_devices: 2` drives Ulysses sequence-parallel attention from the
+    config (SURVEY §2.3 optional SP; kernels/attention.py sp_axis). Output
+    must match the unsharded run bit-for-bit-identical seeds."""
+    res = _run_infer(tmp_path, "sp_devices: 2")
+    assert "sequence parallel: sp=2" in res.stdout
+    sp_lat = np.load(next((sorted((tmp_path / "out").iterdir())[-1])
+                          .glob("*_latents.npy")))
+    ref = _run_infer(tmp_path, "")
+    ref_lat = np.load(next((sorted((tmp_path / "out").iterdir())[-1])
+                           .glob("*_latents.npy")))
+    assert np.abs(sp_lat - ref_lat).max() < 2e-4
+
+
+@pytest.mark.slow
 def test_infer_smoke_gen_2stage(tmp_path):
     """gen workload (`use_2nd_stage: true`): T2To generates condensed tokens
     from text, To2V renders them — no source video

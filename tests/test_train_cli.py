@@ -57,6 +57,20 @@ def test_to2v_tp2_matches_dp(tmp_path):
 
 
 @pytest.mark.slow
+def test_to2v_sp2_matches_dp(tmp_path):
+    """sp(2) x dp(2) == dp(2): Ulysses sequence parallelism is data layout,
+    not math — the all_to_all re-shard around the unchanged kernel must leave
+    the training step numerically intact (kernels/attention.py sp_axis)."""
+    ref = _run_train(tmp_path, "dp2r",
+                     "dp_devices: 2\ntp_devices: 1\nzero1: true")
+    sp = _run_train(tmp_path, "sp2",
+                    "dp_devices: 2\nsp_devices: 2\nzero1: true")
+    assert "sequence parallel (Ulysses): sp=2 x dp=2 mesh" in sp.stdout
+    l_ref, l_sp = _step0_loss(ref.stdout), _step0_loss(sp.stdout)
+    assert abs(l_ref - l_sp) < 1e-3, (l_ref, l_sp)
+
+
+@pytest.mark.slow
 def test_t2to_tp2_smoke(tmp_path):
     """T2To full-finetune trainer runs green on a tp(2) x dp(2) mesh."""
     res = _run_train(tmp_path, "t2totp2",

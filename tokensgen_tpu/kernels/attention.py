@@ -1537,6 +1537,7 @@ def fused_flash_attention(
     block_q: int = 1024,
     block_kv: int = 1024,
     tp_axis: Optional[str] = None,
+    sp_axis: Optional[str] = None,
     int8_scores: bool = False,
 ) -> jnp.ndarray:
     """Attention with the qk-norm + RoPE prologue fused into the kernel.
@@ -1554,6 +1555,16 @@ def fused_flash_attention(
     build the q-side tables with ``fold=scale`` (softmax scale) — the kernel
     computes softmax over ``prologue(q) @ prologue(k)^T + key_bias``.
     ``norm_q``/``norm_k`` toggle the LayerNorm part (rope-only when False).
+
+    ``sp_axis``: Ulysses-style sequence parallelism (sharding/sp.py pattern,
+    SURVEY §2.3 optional SP target), mutually exclusive with ``tp_axis`` and
+    merged-layout only. Operands live sequence-sharded on this mesh axis; an
+    in-shard ``all_to_all`` re-shards seq<->heads so each device runs the
+    unchanged kernel over the FULL sequence for its H/n local heads, then the
+    inverse ``all_to_all`` restores sequence sharding. The prologue tables are
+    per-position/head-agnostic and stay replicated. Requires an ambient mesh
+    and Sq, Skv, H divisible by the axis size — the production joint sequence
+    (18,256 = 226 text + 17,550 video + 480 vip) divides by 2/4/8/16.
     """
     merged = q.ndim == 3
     if merged:
@@ -1569,6 +1580,35 @@ def fused_flash_attention(
         key_bias = jnp.zeros((b, skv), dtype=jnp.float32)
     else:
         key_bias = key_bias.astype(jnp.float32)
+
+    if sp_axis is not None:
+        from jax.sharding import PartitionSpec as P
+
+        assert tp_axis is None, "sp_axis and tp_axis are mutually exclusive"
+        assert merged, "sp_axis supports the merged [B, S, H*D] layout only"
+        nsp = jax.sharding.get_abstract_mesh().shape[sp_axis]
+        assert sq % nsp == 0 and skv % nsp == 0 and h % nsp == 0, (
+            f"sp_axis={sp_axis}({nsp}) must divide Sq={sq}, Skv={skv}, H={h}")
+        ss = P(None, sp_axis, None)
+        ts = jax.tree_util.tree_map(lambda _: P(), (tabs_q, tabs_k))
+
+        def _sp_local(q_, k_, v_, bias_, tq_, tk_):
+            # seq-sharded [B, S/n, H*D] -> head-sharded [B, S, (H/n)*D]
+            def fwd(x):
+                return jax.lax.all_to_all(x, sp_axis, split_axis=2,
+                                          concat_axis=1, tiled=True)
+
+            o = _fused_dispatch(fwd(q_), fwd(k_), fwd(v_), bias_, tq_, tk_,
+                                h // nsp, has_bias, eps, norm_q, norm_k,
+                                block_q, block_kv, int8_scores)
+            return jax.lax.all_to_all(o, sp_axis, split_axis=1,
+                                      concat_axis=2, tiled=True)
+
+        return jax.shard_map(
+            _sp_local,
+            in_specs=(ss, ss, ss, P(None, None)) + tuple(ts),
+            out_specs=ss,
+        )(q, k, v, key_bias, tabs_q, tabs_k)
 
     if tp_axis is not None:
         from jax.sharding import PartitionSpec as P

@@ -118,6 +118,14 @@ class DiTConfig:
     # over heads on this axis (see kernels/attention.py). Use together with
     # sharding/tp.py param specs and an ambient mesh (`jax.set_mesh`).
     tp_axis: Optional[str] = None
+    # sequence-parallel (Ulysses) mesh axis: when set, attention ops shard_map
+    # themselves over the SEQUENCE dimension with an in-shard all_to_all
+    # (seq<->heads) around the unchanged kernel — sharding/sp.py pattern,
+    # SURVEY §2.3 optional SP target. The shard_map's seq-sharded output spec
+    # propagates through GSPMD, so the downstream to_out/FF matmuls run
+    # sequence-sharded too. Mutually exclusive with tp_axis; requires the
+    # joint sequence lengths and head count divisible by the axis size.
+    sp_axis: Optional[str] = None
     # evaluate the joint-sequence FeedForward in N sequential sequence chunks
     # (lax.map): caps the [B, S, 4*inner] gelu intermediate at 1/N size so the
     # CFG-batched B=2 forward of the 7.17B model fits a 16 GB chip. 1 = off.
@@ -245,7 +253,7 @@ class JointVIPAttention(nn.Module):
             # padding; dispatches to the packed head-pair kernel on TPU
             return fused_flash_attention(
                 q_, k_, v_, tq_, tk_, heads=heads, norm_q=cfg.qk_norm,
-                norm_k=cfg.qk_norm, tp_axis=cfg.tp_axis,
+                norm_k=cfg.qk_norm, tp_axis=cfg.tp_axis, sp_axis=cfg.sp_axis,
                 int8_scores=cfg.quant_attn, **kw)
 
         def dense(name):

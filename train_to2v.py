@@ -66,27 +66,43 @@ def main():
     # reference capability anchor `attention_processor.py:1885-1954`).
     # Composes with data parallelism: dp = device_count / tp.
     tp = int(cfg.get("tp_devices", 1))
+    # `sp_devices`: Ulysses sequence parallelism — attention all_to_alls
+    # seq<->heads inside a shard_map over the same `model` mesh axis
+    # (kernels/attention.py sp_axis; SURVEY §2.3 optional SP target). The
+    # all_to_all transposes cleanly under AD, so the train step differentiates
+    # through it. Mutually exclusive with tp_devices (one model axis).
+    sp = int(cfg.get("sp_devices", 1))
+    if tp > 1 and sp > 1:
+        raise ValueError("tp_devices and sp_devices are mutually exclusive")
+    nmodel = max(tp, sp)
     ndev = jax.device_count()
-    if tp < 1 or ndev % tp:
-        raise ValueError(f"tp_devices={tp} must divide device count {ndev}")
+    if nmodel < 1 or ndev % nmodel:
+        raise ValueError(
+            f"tp/sp devices={nmodel} must divide device count {ndev}")
     # `dp_devices`: optionally use fewer data ranks than available (e.g. a
     # tp-vs-dp equality check on one host); default fills the machine
-    dp = int(cfg.get("dp_devices", 0)) or (ndev // tp)
-    if dp * tp > ndev:
-        raise ValueError(f"dp({dp}) x tp({tp}) exceeds {ndev} devices")
-    mesh = make_mesh(MeshSpec(data=dp, model=tp))
-    if tp > 1:
+    dp = int(cfg.get("dp_devices", 0)) or (ndev // nmodel)
+    if dp * nmodel > ndev:
+        raise ValueError(f"dp({dp}) x model({nmodel}) exceeds {ndev} devices")
+    mesh = make_mesh(MeshSpec(data=dp, model=nmodel))
+    if nmodel > 1:
         # ambient mesh BEFORE any model apply/init: the Pallas attention op
-        # shard_maps itself over heads (kernels/attention.py tp_axis path)
+        # shard_maps itself over heads (tp) or sequence (sp)
+        # (kernels/attention.py tp_axis/sp_axis paths)
         jax.set_mesh(mesh)
-        print(f"tensor parallel: tp={tp} x dp={dp} mesh", flush=True)
+        if tp > 1:
+            print(f"tensor parallel: tp={tp} x dp={dp} mesh", flush=True)
+        else:
+            print(f"sequence parallel (Ulysses): sp={sp} x dp={dp} mesh",
+                  flush=True)
 
     # --- model configs ---
     if args.smoke or cfg.get("model_size") == "tiny":
         vc = VIPConfig(output_dim=24, num_temporal_queries=2, num_height_queries=2,
                        num_width_queries=3, length=3 * 2 * 3)
         dcfg = DiTConfig.tiny(vip=vc, sample_height=4, sample_width=6,
-                              tp_axis="model" if tp > 1 else None)
+                              tp_axis="model" if tp > 1 else None,
+                              sp_axis="model" if sp > 1 else None)
         rcfg = ResamplerConfig.tiny(embedding_dim=dcfg.inner_dim, output_dim=24,
                                     num_temporal_queries=2, num_height_queries=2,
                                     num_width_queries=3)
@@ -104,7 +120,8 @@ def main():
             num_width_queries=rp.get("num_width_queries", 12),
         )
         dcfg = DiTConfig.cogvideox_5b(vip=vc, remat=True,
-                                      tp_axis="model" if tp > 1 else None)
+                                      tp_axis="model" if tp > 1 else None,
+                                      sp_axis="model" if sp > 1 else None)
         rcfg = ResamplerConfig(**{k: v for k, v in rp.items()
                                   if k in ResamplerConfig.__dataclass_fields__})
         vcfg = VAEConfig.cogvideox()
