@@ -79,3 +79,15 @@ def test_t2to_tp2_smoke(tmp_path):
                      script="train_t2to.py", steps=2)
     assert "tensor parallel: tp=2 x dp=2 mesh" in res.stdout
     assert "training done" in res.stdout
+
+
+@pytest.mark.slow
+def test_t2to_sp2_smoke(tmp_path):
+    """T2To full-finetune trainer runs green on an sp(2) x dp(2) mesh (the
+    padded-chunk key_bias mask rides the sp shard_map replicated)."""
+    res = _run_train(tmp_path, "t2tosp2",
+                     "dp_devices: 2\nsp_devices: 2\nzero1: true\n"
+                     "gradient_accumulation_steps: 2",
+                     script="train_t2to.py", steps=2)
+    assert "sequence parallel (Ulysses): sp=2 x dp=2 mesh" in res.stdout
+    assert "training done" in res.stdout

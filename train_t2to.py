@@ -56,28 +56,41 @@ def main():
     # parallel layout: mesh (data, model) — see train_to2v.py; tiny smoke uses
     # 1 head so TP there needs num_attention_heads >= tp (2 below)
     tp = int(cfg.get("tp_devices", 1))
+    # `sp_devices`: Ulysses sequence parallelism (see train_to2v.py); mutually
+    # exclusive with tp_devices — both use the mesh `model` axis
+    sp = int(cfg.get("sp_devices", 1))
+    if tp > 1 and sp > 1:
+        raise ValueError("tp_devices and sp_devices are mutually exclusive")
+    nmodel = max(tp, sp)
     ndev = jax.device_count()
-    if tp < 1 or ndev % tp:
-        raise ValueError(f"tp_devices={tp} must divide device count {ndev}")
-    dp = int(cfg.get("dp_devices", 0)) or (ndev // tp)
-    if dp * tp > ndev:
-        raise ValueError(f"dp({dp}) x tp({tp}) exceeds {ndev} devices")
-    mesh = make_mesh(MeshSpec(data=dp, model=tp))
-    if tp > 1:
+    if nmodel < 1 or ndev % nmodel:
+        raise ValueError(
+            f"tp/sp devices={nmodel} must divide device count {ndev}")
+    dp = int(cfg.get("dp_devices", 0)) or (ndev // nmodel)
+    if dp * nmodel > ndev:
+        raise ValueError(f"dp({dp}) x model({nmodel}) exceeds {ndev} devices")
+    mesh = make_mesh(MeshSpec(data=dp, model=nmodel))
+    if nmodel > 1:
         # ambient mesh BEFORE any model apply/init (head-sharded attention)
         jax.set_mesh(mesh)
-        print(f"tensor parallel: tp={tp} x dp={dp} mesh", flush=True)
+        if tp > 1:
+            print(f"tensor parallel: tp={tp} x dp={dp} mesh", flush=True)
+        else:
+            print(f"sequence parallel (Ulysses): sp={sp} x dp={dp} mesh",
+                  flush=True)
 
     if args.smoke or cfg.get("model_size") == "tiny":
         dcfg = DiTConfig.tiny(patch_size=1, sample_height=8, sample_width=12,
                               attention_head_dim=64,
-                              num_attention_heads=2 if tp > 1 else 1,
-                              tp_axis="model" if tp > 1 else None)
+                              num_attention_heads=2 if nmodel > 1 else 1,
+                              tp_axis="model" if tp > 1 else None,
+                              sp_axis="model" if sp > 1 else None)
         max_chunks, tokens_per_chunk = 4, 4
         token_dim = 48
     else:
         dcfg = DiTConfig.t2to_5b(remat=True,
-                                 tp_axis="model" if tp > 1 else None)
+                                 tp_axis="model" if tp > 1 else None,
+                                 sp_axis="model" if sp > 1 else None)
         max_chunks = cfg.get_path("train_data_params.max_num_chunks", 24)
         tokens_per_chunk = 4
         token_dim = 3072
