@@ -36,3 +36,76 @@ def test_chunk_bucketing():
     assert svc._bucket(2) == 2
     assert svc._bucket(3) == 4
     assert svc._bucket(100) == 8
+
+
+def test_edit_stream_matches_edit():
+    """Streaming chunks == the one-shot edit()'s latents, in order, and the
+    first chunk arrives before the worker finishes the whole video."""
+    svc, pipe = _service()
+    rng = np.random.default_rng(0)
+    frames = rng.uniform(-1, 1, size=(1, 18, 32, 48, 3)).astype(np.float32)
+    ref = svc.edit("a red car", frames, num_chunks=2, seed=1, decode=False)
+
+    chunks = list(svc.edit_stream("a red car", frames, num_chunks=2, seed=1,
+                                  decode=False))
+    nf = pipe.cfg.nf_latent
+    assert [c["chunk"] for c in chunks] == list(range(2))
+    streamed = np.concatenate([c["latents"] for c in chunks], axis=1)
+    np.testing.assert_allclose(streamed, ref["latents"], rtol=1e-5, atol=1e-5)
+    assert streamed.shape[1] == 2 * nf
+
+
+def test_edit_stream_decoded_chunks():
+    svc, pipe = _service()
+    rng = np.random.default_rng(0)
+    frames = rng.uniform(-1, 1, size=(1, 18, 32, 48, 3)).astype(np.float32)
+    got = 0
+    for c in svc.edit_stream("a dog", frames, num_chunks=2, seed=3):
+        assert c["video"].shape == (1, 9, 32, 48, 3)
+        assert np.isfinite(c["video"]).all()
+        got += 1
+    assert got == 2
+
+
+def test_http_edit_stream_endpoint():
+    """POST /edit_stream returns NDJSON chunks over a chunked HTTP response."""
+    import base64
+    import http.client
+    import io
+    import json
+    import threading
+    from http.server import HTTPServer
+
+    from tokensgen_tpu.serving import serve_http
+
+    svc, _ = _service()
+    # grab the handler class via a private server instance: serve_http blocks,
+    # so run it on an ephemeral port in a daemon thread
+    import socket
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    t = threading.Thread(target=serve_http, args=(svc, "127.0.0.1", port),
+                         daemon=True)
+    t.start()
+    import time
+    time.sleep(0.5)
+
+    rng = np.random.default_rng(0)
+    frames = rng.uniform(-1, 1, size=(1, 18, 32, 48, 3)).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, frames)
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+    conn.request("POST", "/edit_stream", body=json.dumps({
+        "prompt": "a boat", "num_chunks": 2, "seed": 2,
+        "frames_npy": base64.b64encode(buf.getvalue()).decode()}),
+        headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.getheader("Content-Type") == "application/x-ndjson"
+    lines = [json.loads(l) for l in resp.read().decode().splitlines() if l]
+    assert [l["chunk"] for l in lines] == [0, 1]
+    for l in lines:
+        assert len(base64.b64decode(l["video_mp4_b64"])) > 0
+    conn.close()

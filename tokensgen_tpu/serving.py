@@ -73,6 +73,82 @@ class VideoService:
             result["video"] = np.asarray(out["video"][0])
         return result
 
+    def edit_stream(self, prompt: str, frames: np.ndarray, num_chunks: int,
+                    seed: int = 0, negative_prompt: str = "",
+                    decode: bool = True):
+        """Generator form of `edit`: yields one 49-px-frame chunk as soon as
+        the FIFO queue has emitted its 13 clean latent frames, instead of
+        returning only after the whole video.
+
+        This is the serving mode FIFO diagonal denoising is naturally shaped
+        for — the engine pops exactly one finished frame per iteration
+        (`cogvideo_sampling_mp_fifo.py:340-341`), so a long video can start
+        playing while its tail is still denoising. Built on the host-loop
+        engine's per-iteration `emit_callback` (sampling/fifo.py): a worker
+        thread drives the FIFO iterations; this generator groups the emitted
+        clean latents per chunk and (when `decode=True`) VAE-decodes each
+        group between iterations.
+
+        Yields dicts: {"chunk": int, "video": [B, 49, H, W, 3]} (or
+        {"chunk", "latents"} when decode=False). Requires the single-device
+        engine (host_loop emits land on host only when mesh is None) and the
+        VAE resident next to the DiT — on a memory-edge chip use
+        decode=False and decode the latent stream elsewhere."""
+        import queue as queue_mod
+        import jax
+        import jax.numpy as jnp
+
+        if self.mesh is not None:
+            raise ValueError("edit_stream requires the single-device engine "
+                             "(host-loop emits land on host only there)")
+        cfg = self.pipe.cfg
+        nf = cfg.nf_latent
+        warmup = cfg.num_inference_steps - nf
+        q: "queue_mod.Queue" = queue_mod.Queue()
+        _DONE, _ERR = object(), object()
+
+        with self._lock:
+            text = self.text_encoder([prompt])
+            neg = self.text_encoder([negative_prompt])
+
+            def run():
+                try:
+                    self.pipe.generate(
+                        text, neg, frames=jnp.asarray(frames),
+                        num_chunks=num_chunks, rng=jax.random.PRNGKey(seed),
+                        host_loop=True, decode=False,
+                        emit_callback=lambda i, em: q.put((i, em)))
+                    q.put((_DONE, None))
+                except BaseException as e:  # surface worker failures
+                    q.put((_ERR, e))
+
+            worker = threading.Thread(target=run, daemon=True)
+            worker.start()
+            group, chunk_idx = [], 0
+            while True:
+                i, em = q.get()
+                if i is _ERR:
+                    worker.join()
+                    raise em
+                if i is _DONE:
+                    break
+                if i < warmup:  # discarded warm-up emissions (`:361-367`)
+                    continue
+                group.append(em)  # [B, C, h, w]
+                if len(group) == nf:
+                    lat = np.stack(group, axis=1)  # [B, nf, C, h, w]
+                    group = []
+                    out = {"chunk": chunk_idx}
+                    if decode and self.pipe.vae is not None:
+                        out["video"] = np.asarray(
+                            self.pipe.decode_latents(jnp.asarray(lat)))
+                    else:
+                        out["latents"] = lat
+                    chunk_idx += 1
+                    yield out
+            worker.join()
+            self.stats["requests"] += 1
+
     def generate(self, prompt: str, num_chunks: int, seed: int = 0,
                  negative_prompt: str = "", decode: bool = True) -> Dict:
         """Text -> long video via T2To tokens + To2V FIFO."""
@@ -152,6 +228,30 @@ def serve_http(service: VideoService, host: str = "0.0.0.0", port: int = 8080):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/edit_stream":
+                    # NDJSON chunked response: one line per 49-frame chunk as
+                    # the FIFO emits it (application/x-ndjson)
+                    arr = np.load(io.BytesIO(base64.b64decode(req["frames_npy"])))
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/x-ndjson")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+
+                    def send_line(payload: Dict):
+                        line = (json.dumps(payload) + "\n").encode()
+                        self.wfile.write(f"{len(line):x}\r\n".encode())
+                        self.wfile.write(line + b"\r\n")
+                        self.wfile.flush()
+
+                    for c in service.edit_stream(
+                            req["prompt"], arr, int(req.get("num_chunks", 2)),
+                            seed=int(req.get("seed", 0)),
+                            negative_prompt=req.get("negative_prompt", "")):
+                        send_line({"chunk": c["chunk"],
+                                   "video_mp4_b64": _encode_video_b64(
+                                       c["video"][0])})
+                    self.wfile.write(b"0\r\n\r\n")
+                    return
                 if self.path == "/generate":
                     out = service.generate(
                         req["prompt"], int(req.get("num_chunks", 2)),
