@@ -109,3 +109,41 @@ def test_http_edit_stream_endpoint():
     for l in lines:
         assert len(base64.b64decode(l["video_mp4_b64"])) > 0
     conn.close()
+
+
+def test_generate_stream_two_stage():
+    """generate_stream: T2To tokens up front, then streamed To2V chunks that
+    match the one-shot generate()'s latents."""
+    import jax
+
+    from tokensgen_tpu.models.dit import CogVideoXTransformer, DiTConfig
+    from tokensgen_tpu.pipelines.t2to import T2ToConfig, T2ToPipeline
+
+    svc, pipe = _service()
+    # tiny T2To whose token grid matches the To2V resampler queries (24, 2x3)
+    t2cfg = T2ToConfig(num_inference_steps=4, num_frames_per_chunk=2,
+                       token_dim=24, height=2, width=3, stochastic=False)
+    t2dcfg = DiTConfig.tiny(patch_size=1, sample_height=2, sample_width=3,
+                            attention_head_dim=64, num_attention_heads=1)
+    t2dit = CogVideoXTransformer(t2dcfg)
+    t2pipe = T2ToPipeline(t2cfg, t2dcfg, None)
+    f0 = 2 * t2cfg.num_frames_per_chunk
+    t2params = t2dit.init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((1, f0, t2cfg.latent_channels, 2, 3)),
+        jnp.zeros((1, t2dcfg.max_text_seq_length, t2dcfg.text_embed_dim)),
+        jnp.zeros((1,), jnp.int32), image_rotary_emb=t2pipe.rope(f0))
+    import numpy as _np
+    from tokensgen_tpu.core import pca as pca_lib
+    rng0 = _np.random.default_rng(0)
+    pca = pca_lib.fit(jnp.asarray(rng0.normal(size=(24 + 8, 24)), jnp.float32),
+                      None)
+    svc.t2to_pipe = T2ToPipeline(t2cfg, t2dcfg, t2params, pca=pca,
+                                 token_mean=jnp.zeros((1, 24)),
+                                 token_std=jnp.ones((1, 24)))
+    ref = svc.generate("a blue bird", num_chunks=2, seed=5, decode=False)
+    chunks = list(svc.generate_stream("a blue bird", num_chunks=2, seed=5,
+                                      decode=False))
+    assert [c["chunk"] for c in chunks] == [0, 1]
+    streamed = np.concatenate([c["latents"] for c in chunks], axis=1)
+    np.testing.assert_allclose(streamed, ref["latents"], rtol=1e-5, atol=1e-5)

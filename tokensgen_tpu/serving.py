@@ -94,12 +94,26 @@ class VideoService:
         engine (host_loop emits land on host only when mesh is None) and the
         VAE resident next to the DiT — on a memory-edge chip use
         decode=False and decode the latent stream elsewhere."""
+        import jax.numpy as jnp
+
+        with self._lock:
+            text = self.text_encoder([prompt])
+            neg = self.text_encoder([negative_prompt])
+        yield from self._stream_fifo(text, neg,
+                                     dict(frames=jnp.asarray(frames)),
+                                     num_chunks, seed, decode)
+
+    def _stream_fifo(self, text, neg, gen_kwargs: Dict, num_chunks: int,
+                     seed: int, decode: bool):
+        """Shared streaming driver: run `pipe.generate(host_loop=True)` in a
+        worker thread, group the per-iteration clean emits into nf-latent
+        chunks, decode each between iterations, yield."""
         import queue as queue_mod
         import jax
         import jax.numpy as jnp
 
         if self.mesh is not None:
-            raise ValueError("edit_stream requires the single-device engine "
+            raise ValueError("streaming requires the single-device engine "
                              "(host-loop emits land on host only there)")
         cfg = self.pipe.cfg
         nf = cfg.nf_latent
@@ -108,16 +122,14 @@ class VideoService:
         _DONE, _ERR = object(), object()
 
         with self._lock:
-            text = self.text_encoder([prompt])
-            neg = self.text_encoder([negative_prompt])
-
             def run():
                 try:
                     self.pipe.generate(
-                        text, neg, frames=jnp.asarray(frames),
-                        num_chunks=num_chunks, rng=jax.random.PRNGKey(seed),
+                        text, neg, num_chunks=num_chunks,
+                        rng=jax.random.PRNGKey(seed),
                         host_loop=True, decode=False,
-                        emit_callback=lambda i, em: q.put((i, em)))
+                        emit_callback=lambda i, em: q.put((i, em)),
+                        **gen_kwargs)
                     q.put((_DONE, None))
                 except BaseException as e:  # surface worker failures
                     q.put((_ERR, e))
@@ -148,6 +160,31 @@ class VideoService:
                     yield out
             worker.join()
             self.stats["requests"] += 1
+
+    def generate_stream(self, prompt: str, num_chunks: int, seed: int = 0,
+                        negative_prompt: str = "", decode: bool = True):
+        """Generator form of `generate`: T2To produces the condensed-token
+        track up front (one 52-step pass over the tiny token latents), then
+        the To2V FIFO chunks stream out exactly as in `edit_stream`."""
+        import jax
+        import jax.numpy as jnp
+
+        if self.t2to_pipe is None:
+            raise ValueError("service was built without a T2To pipeline")
+        from tokensgen_tpu.pipelines.t2to import extend_generated_tokens
+
+        with self._lock:
+            text = self.text_encoder([prompt])
+            neg = self.text_encoder([negative_prompt])
+            toks = self.t2to_pipe(text, neg, num_chunks=num_chunks,
+                                  rng=jax.random.PRNGKey(seed))
+            toks = extend_generated_tokens(toks, num_chunks)
+            if self.pipe.cfg.use_separate_guidance:
+                emb = jnp.concatenate([toks, jnp.zeros_like(toks), toks], axis=0)
+            else:
+                emb = jnp.concatenate([toks, toks], axis=0)
+        yield from self._stream_fifo(text, neg, dict(image_embeddings=emb),
+                                     num_chunks, seed, decode)
 
     def generate(self, prompt: str, num_chunks: int, seed: int = 0,
                  negative_prompt: str = "", decode: bool = True) -> Dict:
