@@ -20,14 +20,32 @@ checkpoints its emitted-frame series to disk after every FIFO iteration
 that point.
 
 Usage:
-  python tools/drift_w8a8.py run bf16  [steps] [chunks] [layers] [ff_chunks]
-  python tools/drift_w8a8.py run w8a8  [steps] [chunks] [layers] [ff_chunks]
-  python tools/drift_w8a8.py compare   [steps] [chunks] [layers]
+  python tools/drift_w8a8.py run bf16  [steps] [chunks] [layers] [ff_chunks] [parts] [stoch]
+  python tools/drift_w8a8.py run w8a8  [steps] [chunks] [layers] [ff_chunks] [parts] [stoch]
+  python tools/drift_w8a8.py compare   [steps] [chunks] [layers] [parts] [stoch]
   python tools/drift_w8a8.py run-base {bf16,w8a8} [steps] [chunks] [layers]
   python tools/drift_w8a8.py compare-base         [steps] [chunks] [layers]
+  python tools/drift_w8a8.py run-t2to {bf16,w8a8} [steps] [chunks] [layers]
+  python tools/drift_w8a8.py compare-t2to         [steps] [chunks] [layers]
+  python tools/drift_w8a8.py run-feed {bf16,w8a8} [steps] [chunks] [t2to_layers] [to2v_layers]
+  python tools/drift_w8a8.py compare-feed         [steps] [chunks] [t2to_layers] [to2v_layers]
 
 `run-base`/`compare-base` probe the plain N-step base denoise (no FIFO) —
 the VERDICT item's second workload, e.g. the reference's 52-step DPM run.
+
+`parts`/`stoch` (FIFO arms): `parts=4 stoch=1` is the SHIPPED production
+geometry — 2*4=8 lookahead ranks, stochastic DPM with injected noise that is
+identical across arms (both derive every noise draw from PRNGKey(2) folded
+by iteration/rank), mirroring `cogvideo_sampling_mp_fifo.py:223-334`.
+
+`run-t2to` probes the SECOND quantized stage: the T2To token DiT
+(patch_size=1, `pipeline_cogvideox_t2to.py:822-904`) generates the
+condensed-token track bf16 vs w8a8 from the same master weights; compare-t2to
+reports drift on the 16-dim token latents AND on the post-PCA 3072-dim token
+frames that actually seed To2V. `run-feed` then renders each arm's token
+track through one FIXED bf16 To2V FIFO (reduced depth) — compare-feed is the
+decoded-video-delta answer: how much does T2To quantization error perturb the
+final long video?
 """
 
 import json
@@ -48,8 +66,13 @@ import numpy as np
 OUT_DIR = "/tmp/drift4"
 
 
-def tag(steps, chunks, layers):
-    return f"s{steps}_c{chunks}_l{layers}"
+def tag(steps, chunks, layers, parts=1, stoch=False):
+    t = f"s{steps}_c{chunks}_l{layers}"
+    if parts != 1:
+        t += f"_p{parts}"
+    if stoch:
+        t += "_st"
+    return t
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -60,7 +83,8 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(4.0 / mse)
 
 
-def build(arm, steps, chunks, layers, ff_chunks, want_vae=True):
+def build(arm, steps, chunks, layers, ff_chunks, want_vae=True,
+          parts=1, stoch=False):
     import jax
     import jax.numpy as jnp
 
@@ -78,7 +102,7 @@ def build(arm, steps, chunks, layers, ff_chunks, want_vae=True):
 
     cfg = To2VConfig(
         height=480, width=720, num_frames_per_chunk=49,
-        num_inference_steps=steps, num_partitions=1, stochastic=False,
+        num_inference_steps=steps, num_partitions=parts, stochastic=stoch,
         fifo_emit_dtype="bfloat16",
         sequential_cfg=layers > 36,
     )
@@ -89,10 +113,12 @@ def build(arm, steps, chunks, layers, ff_chunks, want_vae=True):
     r1, r2, r3 = jax.random.split(key, 3)
 
     t0 = time.time()
-    vae_model = AutoencoderKLCogVideoX(vcfg)
-    vae_params = init_params_bf16(
-        vae_model.init, r1, jnp.zeros((1, 9, 480, 720, 3), jnp.bfloat16))
-    vae_runner = VAERunner(vcfg, vae_params)
+    vae_runner = None
+    if want_vae:
+        vae_model = AutoencoderKLCogVideoX(vcfg)
+        vae_params = init_params_bf16(
+            vae_model.init, r1, jnp.zeros((1, 9, 480, 720, 3), jnp.bfloat16))
+        vae_runner = VAERunner(vcfg, vae_params)
 
     rs = Resampler(rcfg)
     rs_params = init_params_bf16(
@@ -138,12 +164,14 @@ def build(arm, steps, chunks, layers, ff_chunks, want_vae=True):
     return pipe, frames, text, neg, t0
 
 
-def run_arm(arm, steps, chunks, layers, ff_chunks):
+def run_arm(arm, steps, chunks, layers, ff_chunks, parts=1, stoch=False):
     import jax
 
     os.makedirs(OUT_DIR, exist_ok=True)
-    prefix = os.path.join(OUT_DIR, f"{arm}_{tag(steps, chunks, layers)}")
-    pipe, frames, text, neg, t0 = build(arm, steps, chunks, layers, ff_chunks)
+    prefix = os.path.join(
+        OUT_DIR, f"{arm}_{tag(steps, chunks, layers, parts, stoch)}")
+    pipe, frames, text, neg, t0 = build(arm, steps, chunks, layers, ff_chunks,
+                                        parts=parts, stoch=stoch)
 
     em_series = []
 
@@ -201,9 +229,10 @@ def compare_base(steps, chunks, layers):
     print(f"wrote {out_path}", flush=True)
 
 
-def load_arm(arm, steps, chunks, layers):
+def load_arm(arm, steps, chunks, layers, parts=1, stoch=False):
     """Return (em_series [iters,B,C,H,W], orig_latents|None, complete)."""
-    prefix = os.path.join(OUT_DIR, f"{arm}_{tag(steps, chunks, layers)}")
+    prefix = os.path.join(
+        OUT_DIR, f"{arm}_{tag(steps, chunks, layers, parts, stoch)}")
     if os.path.exists(prefix + ".npz"):
         z = np.load(prefix + ".npz")
         em = np.load(prefix + "_em_partial.npy")
@@ -213,9 +242,9 @@ def load_arm(arm, steps, chunks, layers):
     raise FileNotFoundError(f"no drift output for arm {arm} at {prefix}*")
 
 
-def compare(steps, chunks, layers, decode=False):
-    eb, ob, cb = load_arm("bf16", steps, chunks, layers)
-    eq, oq, cq = load_arm("w8a8", steps, chunks, layers)
+def compare(steps, chunks, layers, decode=False, parts=1, stoch=False):
+    eb, ob, cb = load_arm("bf16", steps, chunks, layers, parts, stoch)
+    eq, oq, cq = load_arm("w8a8", steps, chunks, layers, parts, stoch)
     n = min(eb.shape[0], eq.shape[0])
     print(f"bf16 iters={eb.shape[0]} (complete={cb})  "
           f"w8a8 iters={eq.shape[0]} (complete={cq})  comparing first {n}")
@@ -224,6 +253,7 @@ def compare(steps, chunks, layers, decode=False):
                for i in range(n)]
     summary = {
         "steps": steps, "chunks": chunks, "layers": layers,
+        "num_partitions": parts, "stochastic": stoch,
         "iters_compared": n,
         "bf16_complete": cb, "w8a8_complete": cq,
         "rel_latent_mse_first": rel_mse[0], "rel_latent_mse_last": rel_mse[-1],
@@ -286,10 +316,195 @@ def compare(steps, chunks, layers, decode=False):
     print(f"  last   : rel MSE {rel_mse[-1]:.5f}")
     print("DRIFT_SUMMARY " + json.dumps(summary), flush=True)
     out_path = os.path.join(
-        OUT_DIR, f"drift_w8a8_{tag(steps, chunks, layers)}.json")
+        OUT_DIR, f"drift_w8a8_{tag(steps, chunks, layers, parts, stoch)}.json")
     with open(out_path, "w") as f:
         json.dump({"summary": summary, "rel_mse": rel_mse,
                    "frame_psnr": frame_psnr}, f)
+    print(f"wrote {out_path}", flush=True)
+
+
+def build_t2to(arm, steps, chunks, layers):
+    """T2To pipeline over a shared host master tree; w8a8 quantizes the same
+    weights (mirrors `infer.py`'s T2To quant application)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from tokensgen_tpu.core import pca as pca_lib
+    from tokensgen_tpu.core.rope import get_3d_rotary_pos_embed_v2
+    from tokensgen_tpu.models.dit import (
+        CogVideoXTransformer, DiTConfig, quantize_dit_params)
+    from tokensgen_tpu.pipelines.t2to import T2ToConfig, T2ToPipeline
+    from tokensgen_tpu.utils.params import init_params_bf16, param_count
+
+    t0 = time.time()
+    # production geometry: stochastic DPM, vip_1 schedule (pipeline default),
+    # token latents [1, 4*chunks, 16, 8, 12] (`pipeline_cogvideox_t2to.py:
+    # 768-782`)
+    tcfg = T2ToConfig(num_inference_steps=steps, stochastic=True)
+    dcfg0 = DiTConfig.t2to_5b(num_layers=layers)
+    f = chunks * tcfg.num_frames_per_chunk
+    rope = get_3d_rotary_pos_embed_v2(
+        dcfg0.attention_head_dim, np.arange(f), np.arange(8), np.arange(12),
+        dim_t=52, dim_h=6, dim_w=6)
+    with jax.default_device(jax.devices("cpu")[0]):
+        dit0 = CogVideoXTransformer(dcfg0)
+        master = init_params_bf16(
+            dit0.init, jax.random.PRNGKey(3),
+            jnp.zeros((1, f, 16, 8, 12), jnp.bfloat16),
+            jnp.zeros((1, dcfg0.max_text_seq_length, dcfg0.text_embed_dim),
+                      jnp.bfloat16),
+            jnp.zeros((1,), jnp.int32),
+            image_rotary_emb=rope)
+    print(f"[{time.time()-t0:7.1f}s] t2to master params: "
+          f"{param_count(master)/1e9:.2f}B", flush=True)
+    dcfg = dc.replace(dcfg0, quant=None if arm == "bf16" else "w8a8")
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = (master if arm == "bf16"
+                  else {"params": quantize_dit_params(master["params"], dcfg)})
+
+    # deterministic synthetic PCA + stats (both arms share them): a seeded
+    # orthonormal basis in the 3072-dim token space stands in for the
+    # imported pca.pt (host QR — no device SVD needed)
+    rng_src = np.random.default_rng(11)
+    import jax.numpy as jnp2
+    # full square basis: postprocess zero-pads 16 -> 3072 PCA coords and
+    # lifts through all components (`pipeline_cogvideox_t2to.py:891-904`)
+    q, _ = np.linalg.qr(rng_src.normal(size=(3072, 3072)))
+    pca = pca_lib.PCAState(
+        mean=jnp2.asarray(rng_src.normal(size=(1, 3072)) * 0.1, jnp2.float32),
+        components=jnp2.asarray(q.T, jnp2.float32))
+    mean = jnp2.asarray(rng_src.normal(size=(1, 3072)) * 0.1, jnp2.float32)
+    std = jnp2.asarray(1.0 + 0.1 * rng_src.uniform(size=(1, 3072)), jnp2.float32)
+    pipe = T2ToPipeline(tcfg, dcfg, params, pca=pca, token_mean=mean,
+                        token_std=std)
+    text = jnp2.asarray(rng_src.normal(size=(1, 226, 4096)) * 0.02, jnp2.bfloat16)
+    neg = jnp2.zeros_like(text)
+    return pipe, text, neg, t0
+
+
+def run_t2to(arm, steps, chunks, layers):
+    import jax
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    prefix = os.path.join(OUT_DIR, f"t2to_{arm}_{tag(steps, chunks, layers)}")
+    pipe, text, neg, t0 = build_t2to(arm, steps, chunks, layers)
+    t1 = time.time()
+    lat = pipe.generate_tokens(text, neg, num_chunks=chunks,
+                               rng=jax.random.PRNGKey(2))
+    toks = pipe.postprocess(lat)
+    np.savez(prefix + ".npz",
+             latents=np.asarray(lat).astype(np.float32),
+             token_frames=np.asarray(toks).astype(np.float32))
+    print(f"[{time.time()-t0:7.1f}s] t2to {arm}: {time.time()-t1:.1f}s "
+          f"-> {prefix}.npz", flush=True)
+
+
+def compare_t2to(steps, chunks, layers):
+    zb = np.load(os.path.join(OUT_DIR, f"t2to_bf16_{tag(steps, chunks, layers)}.npz"))
+    zq = np.load(os.path.join(OUT_DIR, f"t2to_w8a8_{tag(steps, chunks, layers)}.npz"))
+
+    def rel(a, b):
+        return float(np.mean((a - b) ** 2)) / max(float(np.var(a)), 1e-12)
+
+    summary = {
+        "steps": steps, "chunks": chunks, "layers": layers,
+        "t2to_latent_rel_mse": rel(zb["latents"], zq["latents"]),
+        "t2to_token_frame_rel_mse": rel(zb["token_frames"], zq["token_frames"]),
+    }
+    print(f"t2to {steps}-step token drift (w8a8 vs bf16): "
+          f"latent rel MSE {summary['t2to_latent_rel_mse']:.6f}, "
+          f"post-PCA token-frame rel MSE "
+          f"{summary['t2to_token_frame_rel_mse']:.6f}")
+    print("DRIFT_T2TO_SUMMARY " + json.dumps(summary), flush=True)
+    out_path = os.path.join(
+        OUT_DIR, f"drift_t2to_w8a8_{tag(steps, chunks, layers)}.json")
+    with open(out_path, "w") as f:
+        json.dump(summary, f)
+    print(f"wrote {out_path}", flush=True)
+
+
+def run_feed(arm, steps, chunks, t2to_layers, to2v_layers):
+    """Render arm's T2To token track through ONE fixed bf16 To2V FIFO at
+    production geometry — isolates the downstream effect of T2To quant."""
+    import jax
+    import jax.numpy as jnp
+
+    from tokensgen_tpu.pipelines.t2to import extend_generated_tokens
+
+    z = np.load(os.path.join(
+        OUT_DIR, f"t2to_{arm}_{tag(steps, chunks, t2to_layers)}.npz"))
+    toks = jnp.asarray(z["token_frames"])
+    toks = extend_generated_tokens(toks, chunks)
+    emb = jnp.concatenate([toks, toks], axis=0)  # 2-way CFG batch
+
+    prefix = os.path.join(
+        OUT_DIR,
+        f"feed_{arm}_{tag(steps, chunks, t2to_layers)}_v{to2v_layers}")
+    # To2V arm is ALWAYS bf16 (the fixed renderer); production FIFO geometry
+    pipe, _frames, text, neg, t0 = build(
+        "bf16", steps, chunks, to2v_layers, ff_chunks=8, want_vae=False,
+        parts=4, stoch=True)
+    t1 = time.time()
+    out = pipe.generate(text, neg, image_embeddings=emb, num_chunks=chunks,
+                        rng=jax.random.PRNGKey(2), host_loop=True,
+                        decode=False)
+    np.savez(prefix + ".npz",
+             latents=np.asarray(out["latents"]).astype(np.float32),
+             orig_latents=np.asarray(out["orig_latents"]).astype(np.float32))
+    print(f"[{time.time()-t0:7.1f}s] feed {arm}: {time.time()-t1:.1f}s "
+          f"-> {prefix}.npz", flush=True)
+
+
+def compare_feed(steps, chunks, t2to_layers, to2v_layers, decode=False):
+    zb = np.load(os.path.join(
+        OUT_DIR, f"feed_bf16_{tag(steps, chunks, t2to_layers)}_v{to2v_layers}.npz"))
+    zq = np.load(os.path.join(
+        OUT_DIR, f"feed_w8a8_{tag(steps, chunks, t2to_layers)}_v{to2v_layers}.npz"))
+
+    def rel(a, b):
+        return float(np.mean((a - b) ** 2)) / max(float(np.var(a)), 1e-12)
+
+    summary = {
+        "steps": steps, "chunks": chunks, "t2to_layers": t2to_layers,
+        "to2v_layers": to2v_layers,
+        "feed_fifo_rel_mse": rel(zb["latents"], zq["latents"]),
+        "feed_base_rel_mse": rel(zb["orig_latents"], zq["orig_latents"]),
+    }
+    if decode:
+        import jax
+        import jax.numpy as jnp
+
+        from tokensgen_tpu.models.vae3d import (
+            AutoencoderKLCogVideoX, VAEConfig, VAERunner)
+        from tokensgen_tpu.utils.params import init_params_bf16
+
+        vcfg = VAEConfig.cogvideox(dtype=jnp.bfloat16)
+        r1 = jax.random.split(jax.random.PRNGKey(0), 3)[0]
+        vae_model = AutoencoderKLCogVideoX(vcfg)
+        vae_params = init_params_bf16(
+            vae_model.init, r1, jnp.zeros((1, 9, 480, 720, 3), jnp.bfloat16))
+        runner = VAERunner(vcfg, vae_params)
+        nf = 13
+        vids = {}
+        for name, zz in (("bf16", zb), ("w8a8", zq)):
+            lat = zz["latents"]
+            t_use = (lat.shape[1] // nf) * nf
+            z = jnp.asarray(lat[:, :t_use]) / vcfg.scaling_factor
+            z = z.transpose(0, 1, 3, 4, 2)
+            parts = [runner.decode(z[:, s:s + nf]) for s in range(0, t_use, nf)]
+            vids[name] = np.asarray(jnp.concatenate(parts, axis=1))
+        vb, vq = vids["bf16"][0], vids["w8a8"][0]
+        fp = [psnr(vb[i], vq[i]) for i in range(vb.shape[0])]
+        summary["feed_frame_psnr_min"] = min(fp)
+        summary["feed_frame_psnr_mean"] = float(np.mean(fp))
+    print("DRIFT_FEED_SUMMARY " + json.dumps(summary), flush=True)
+    out_path = os.path.join(
+        OUT_DIR,
+        f"drift_feed_w8a8_{tag(steps, chunks, t2to_layers)}_v{to2v_layers}.json")
+    with open(out_path, "w") as f:
+        json.dump(summary, f)
     print(f"wrote {out_path}", flush=True)
 
 
@@ -301,7 +516,34 @@ def main():
         chunks = int(sys.argv[4]) if len(sys.argv) > 4 else 2
         layers = int(sys.argv[5]) if len(sys.argv) > 5 else 42
         ff_chunks = int(sys.argv[6]) if len(sys.argv) > 6 else 8
-        run_arm(arm, steps, chunks, layers, ff_chunks)
+        parts = int(sys.argv[7]) if len(sys.argv) > 7 else 1
+        stoch = bool(int(sys.argv[8])) if len(sys.argv) > 8 else False
+        run_arm(arm, steps, chunks, layers, ff_chunks, parts, stoch)
+    elif mode == "run-t2to":
+        arm = sys.argv[2]
+        steps = int(sys.argv[3]) if len(sys.argv) > 3 else 52
+        chunks = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+        layers = int(sys.argv[5]) if len(sys.argv) > 5 else 42
+        run_t2to(arm, steps, chunks, layers)
+    elif mode == "compare-t2to":
+        steps = int(sys.argv[2]) if len(sys.argv) > 2 else 52
+        chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+        layers = int(sys.argv[4]) if len(sys.argv) > 4 else 42
+        compare_t2to(steps, chunks, layers)
+    elif mode == "run-feed":
+        arm = sys.argv[2]
+        steps = int(sys.argv[3]) if len(sys.argv) > 3 else 52
+        chunks = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+        t2to_layers = int(sys.argv[5]) if len(sys.argv) > 5 else 42
+        to2v_layers = int(sys.argv[6]) if len(sys.argv) > 6 else 8
+        run_feed(arm, steps, chunks, t2to_layers, to2v_layers)
+    elif mode == "compare-feed":
+        steps = int(sys.argv[2]) if len(sys.argv) > 2 else 52
+        chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+        t2to_layers = int(sys.argv[4]) if len(sys.argv) > 4 else 42
+        to2v_layers = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+        compare_feed(steps, chunks, t2to_layers, to2v_layers,
+                     decode="--decode" in sys.argv)
     elif mode == "run-base":
         arm = sys.argv[2]
         steps = int(sys.argv[3]) if len(sys.argv) > 3 else 52
@@ -315,10 +557,14 @@ def main():
         layers = int(sys.argv[4]) if len(sys.argv) > 4 else 42
         compare_base(steps, chunks, layers)
     elif mode == "compare":
-        steps = int(sys.argv[2]) if len(sys.argv) > 2 else 13
-        chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-        layers = int(sys.argv[4]) if len(sys.argv) > 4 else 42
-        compare(steps, chunks, layers, decode="--decode" in sys.argv)
+        argv = [a for a in sys.argv if not a.startswith("--")]
+        steps = int(argv[2]) if len(argv) > 2 else 13
+        chunks = int(argv[3]) if len(argv) > 3 else 2
+        layers = int(argv[4]) if len(argv) > 4 else 42
+        parts = int(argv[5]) if len(argv) > 5 else 1
+        stoch = bool(int(argv[6])) if len(argv) > 6 else False
+        compare(steps, chunks, layers, decode="--decode" in sys.argv,
+                parts=parts, stoch=stoch)
     else:
         raise SystemExit(__doc__)
 
