@@ -517,6 +517,8 @@ class To2VPipeline:
         offload_vae: bool = False,
         host_loop: bool = False,
         emit_callback=None,
+        state_callback=None,
+        resume_from=None,
         skip_fifo: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         """Full edit/generation run: base pass -> FIFO -> (optional) decode.
@@ -630,7 +632,8 @@ class To2VPipeline:
         fifo_res = fifo_engine.fifo_generate(
             model_fn, {"params": self.dit_params["params"]}, self.sched, fcfg, seed,
             rng=r_fifo, cache_idx=cache_idx, mesh=mesh, host_loop=host_loop,
-            emit_callback=emit_callback,
+            emit_callback=emit_callback, state_callback=state_callback,
+            resume_from=resume_from,
         )
 
         out = {

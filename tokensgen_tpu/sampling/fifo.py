@@ -151,6 +151,8 @@ def fifo_generate(
     mesh: Optional[Mesh] = None,
     host_loop: bool = False,
     emit_callback: Optional[Callable] = None,
+    state_callback: Optional[Callable] = None,
+    resume_from: Optional[dict] = None,
 ) -> FIFOResult:
     """Run the FIFO loop.
 
@@ -172,6 +174,19 @@ def fifo_generate(
     iteration's emitted frame lands on the host — lets long tunnel runs
     checkpoint the emission series incrementally so a mid-run failure still
     yields the frames produced so far.
+
+    ``state_callback(i, state_np)`` (host_loop only): invoked after iteration
+    ``i`` with the post-iteration queue state as host arrays
+    ``{"iteration": i + 1, "state": (queue, x0_buf, x0_valid)}`` — a crash
+    checkpoint. The callback owns the frequency decision (fetching the
+    ~40 MB production state every iteration would dominate tunnel time; every
+    ~25 iterations is free). A later call with ``resume_from=<that dict>``
+    (same seed/config) continues from that iteration and reproduces the
+    uninterrupted run bit-exactly: the per-iteration keys are recomputed from
+    ``rng``, so iteration i's randomness doesn't depend on how the host loop
+    was segmented. The returned ``all_emitted``/``latents`` then cover only
+    the resumed iterations — the caller stitches them onto its emit
+    checkpoint (see ``tests/test_serving.py`` crash-resume drill).
     """
     nf, r_nf, l_nf = fcfg.nf_per_chunk, fcfg.r_nf, fcfg.l_nf
     R, Q = fcfg.num_ranks, fcfg.queue_len
@@ -425,28 +440,40 @@ def fifo_generate(
         # the scan's steady state; params ride as an argument (see above).
         it_fn = jax.jit(iteration, donate_argnums=(1,))
         state = (queue, x0_buf, x0_valid)
-        # Emitted frames and cache tracks are OUTPUTS — in single-chip host
-        # loops, land each iteration's slice on the host immediately instead
-        # of letting n_iters device buffers pile up. At the 42-layer/52-step
-        # production shape HBM sits within ~10 MB of the 16 GB edge with the
-        # bf16 DiT resident, and the final on-device jnp.stack is exactly
-        # what tipped it over; decode runs in a later offload phase (DiT
-        # params dropped), so the latents would be re-staged anyway.
-        to_host = mesh is None
+        # Emitted frames and cache tracks are OUTPUTS — land each iteration's
+        # slice on the host immediately instead of letting n_iters device
+        # buffers pile up. At the 42-layer/52-step production shape HBM sits
+        # within ~10 MB of the 16 GB edge with the bf16 DiT resident, and the
+        # final on-device jnp.stack is exactly what tipped it over; decode
+        # runs in a later offload phase (DiT params dropped), so the latents
+        # would be re-staged anyway. This holds for the queue-sharded engine
+        # too: the shard_map's out_specs are P(), so the per-iteration emit is
+        # a replicated [B, C, H, W] slice (~0.3 MB at production shape) and
+        # fetching it is what lets the 8-chip deployment STREAM — the
+        # reference pops one host frame per iteration the same way
+        # (`cogvideo_sampling_mp_fifo.py:340-341`).
+        start_i = 0
+        if resume_from is not None:
+            state = tuple(jnp.asarray(x) for x in resume_from["state"])
+            start_i = int(resume_from["iteration"])
         em_list, cx_list, cv_list = [], [], []
-        for i in range(n_iters):
+        for i in range(start_i, n_iters):
             state, (em, caches_i) = it_fn(
                 params, state, (jnp.asarray(i, jnp.int32), keys[i]))
-            em_list.append(np.asarray(em) if to_host else em)
-            if emit_callback is not None and to_host:
+            em_list.append(np.asarray(em))
+            if emit_callback is not None:
                 emit_callback(i, em_list[-1])
             if caches_i is not None:
-                cx_list.append(np.asarray(caches_i[0]) if to_host else caches_i[0])
-                cv_list.append(np.asarray(caches_i[1]) if to_host else caches_i[1])
+                cx_list.append(np.asarray(caches_i[0]))
+                cv_list.append(np.asarray(caches_i[1]))
+            if state_callback is not None:
+                state_callback(i, {
+                    "iteration": i + 1,
+                    "state": tuple(np.asarray(s) for s in state),
+                })
         queue, x0_buf, x0_valid = state
-        xp = np if to_host else jnp
-        emitted = xp.stack(em_list)
-        caches = (xp.stack(cx_list), xp.stack(cv_list)) if cx_list else None
+        emitted = np.stack(em_list)
+        caches = (np.stack(cx_list), np.stack(cv_list)) if cx_list else None
     else:
         (queue, x0_buf, x0_valid), (emitted, caches) = jax.lax.scan(
             functools.partial(iteration, params),

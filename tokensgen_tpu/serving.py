@@ -18,7 +18,7 @@ import io
 import json
 import threading
 import time
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -90,10 +90,11 @@ class VideoService:
         group between iterations.
 
         Yields dicts: {"chunk": int, "video": [B, 49, H, W, 3]} (or
-        {"chunk", "latents"} when decode=False). Requires the single-device
-        engine (host_loop emits land on host only when mesh is None) and the
-        VAE resident next to the DiT — on a memory-edge chip use
-        decode=False and decode the latent stream elsewhere."""
+        {"chunk", "latents"} when decode=False). Works on the queue-sharded
+        production engine too (the host-loop lands each iteration's emitted
+        [B,C,H,W] slice — replicated out of the shard_map — on host). On a
+        memory-edge chip use decode=False and decode the latent stream
+        elsewhere (the VAE must otherwise be resident next to the DiT)."""
         import jax.numpy as jnp
 
         with self._lock:
@@ -107,19 +108,31 @@ class VideoService:
                      seed: int, decode: bool):
         """Shared streaming driver: run `pipe.generate(host_loop=True)` in a
         worker thread, group the per-iteration clean emits into nf-latent
-        chunks, decode each between iterations, yield."""
+        chunks, decode each between iterations, yield.
+
+        If the consumer abandons the generator mid-run (client disconnect →
+        GeneratorExit), the worker is cancelled at its next emit callback
+        (at most one FIFO iteration of extra work) and joined BEFORE the
+        service lock is released — no orphaned generation can overlap the
+        next request on the chip."""
         import queue as queue_mod
         import jax
         import jax.numpy as jnp
 
-        if self.mesh is not None:
-            raise ValueError("streaming requires the single-device engine "
-                             "(host-loop emits land on host only there)")
         cfg = self.pipe.cfg
         nf = cfg.nf_latent
         warmup = cfg.num_inference_steps - nf
         q: "queue_mod.Queue" = queue_mod.Queue()
         _DONE, _ERR = object(), object()
+        cancel = threading.Event()
+
+        class _Cancelled(BaseException):
+            pass
+
+        def on_emit(i, em):
+            if cancel.is_set():
+                raise _Cancelled()
+            q.put((i, em))
 
         with self._lock:
             def run():
@@ -127,39 +140,44 @@ class VideoService:
                     self.pipe.generate(
                         text, neg, num_chunks=num_chunks,
                         rng=jax.random.PRNGKey(seed),
-                        host_loop=True, decode=False,
-                        emit_callback=lambda i, em: q.put((i, em)),
+                        host_loop=True, decode=False, mesh=self.mesh,
+                        emit_callback=on_emit,
                         **gen_kwargs)
+                    q.put((_DONE, None))
+                except _Cancelled:
                     q.put((_DONE, None))
                 except BaseException as e:  # surface worker failures
                     q.put((_ERR, e))
 
             worker = threading.Thread(target=run, daemon=True)
             worker.start()
-            group, chunk_idx = [], 0
-            while True:
-                i, em = q.get()
-                if i is _ERR:
-                    worker.join()
-                    raise em
-                if i is _DONE:
-                    break
-                if i < warmup:  # discarded warm-up emissions (`:361-367`)
-                    continue
-                group.append(em)  # [B, C, h, w]
-                if len(group) == nf:
-                    lat = np.stack(group, axis=1)  # [B, nf, C, h, w]
-                    group = []
-                    out = {"chunk": chunk_idx}
-                    if decode and self.pipe.vae is not None:
-                        out["video"] = np.asarray(
-                            self.pipe.decode_latents(jnp.asarray(lat)))
-                    else:
-                        out["latents"] = lat
-                    chunk_idx += 1
-                    yield out
-            worker.join()
-            self.stats["requests"] += 1
+            try:
+                group, chunk_idx = [], 0
+                while True:
+                    i, em = q.get()
+                    if i is _ERR:
+                        worker.join()
+                        raise em
+                    if i is _DONE:
+                        break
+                    if i < warmup:  # discarded warm-up emissions (`:361-367`)
+                        continue
+                    group.append(em)  # [B, C, h, w]
+                    if len(group) == nf:
+                        lat = np.stack(group, axis=1)  # [B, nf, C, h, w]
+                        group = []
+                        out = {"chunk": chunk_idx}
+                        if decode and self.pipe.vae is not None:
+                            out["video"] = np.asarray(
+                                self.pipe.decode_latents(jnp.asarray(lat)))
+                        else:
+                            out["latents"] = lat
+                        chunk_idx += 1
+                        yield out
+                self.stats["requests"] += 1
+            finally:
+                cancel.set()
+                worker.join()
 
     def generate_stream(self, prompt: str, num_chunks: int, seed: int = 0,
                         negative_prompt: str = "", decode: bool = True):
@@ -242,11 +260,59 @@ def _encode_video_b64(video: np.ndarray, fps: float = 10.0) -> str:
         return base64.b64encode(open(f.name, "rb").read()).decode()
 
 
+class RequestError(ValueError):
+    """Invalid request payload — maps to HTTP 400 (rejected loudly, before any
+    chip work is dispatched)."""
+
+
+def validate_request(service: VideoService, req: Dict,
+                     frames: Optional[np.ndarray] = None,
+                     max_chunks: int = 25) -> int:
+    """Shape/size gate for serving requests. `max_chunks=25` mirrors the
+    reference's FIFO cap (`config/infer/gen.yaml:79-86`); an over-long request
+    would otherwise OOM the chip mid-generation instead of failing at the
+    door."""
+    if not isinstance(req.get("prompt"), str) or not req.get("prompt"):
+        raise RequestError("'prompt' must be a non-empty string")
+    try:
+        num_chunks = int(req.get("num_chunks", 2))
+    except (TypeError, ValueError):
+        raise RequestError("'num_chunks' must be an integer")
+    if not 1 <= num_chunks <= max_chunks:
+        raise RequestError(
+            f"num_chunks={num_chunks} out of range [1, {max_chunks}] "
+            "(FIFO queue cap)")
+    if frames is not None:
+        cfg = service.pipe.cfg
+        want_f = num_chunks * cfg.num_frames_per_chunk
+        if frames.ndim != 5 or frames.shape[-1] != 3:
+            raise RequestError(
+                f"frames must be [B, F, H, W, 3]; got {frames.shape}")
+        if frames.shape[1] != want_f:
+            raise RequestError(
+                f"frames has {frames.shape[1]} frames; num_chunks={num_chunks} "
+                f"requires {want_f} ({cfg.num_frames_per_chunk}/chunk)")
+        if frames.shape[2] != cfg.height or frames.shape[3] != cfg.width:
+            raise RequestError(
+                f"frames are {frames.shape[2]}x{frames.shape[3]}; the pipeline "
+                f"is compiled for {cfg.height}x{cfg.width}")
+    return num_chunks
+
+
 def serve_http(service: VideoService, host: str = "0.0.0.0", port: int = 8080):
-    """Blocking JSON API: POST /edit, POST /generate, GET /health."""
+    """Blocking JSON API: POST /edit, POST /generate, POST /edit_stream,
+    GET /health. Invalid payloads get 400 before any chip work; mid-stream
+    failures end the NDJSON stream with an {"error": ...} line (the chunked
+    framing stays intact — a second status line can't be sent once streaming
+    has begun)."""
     from http.server import BaseHTTPRequestHandler, HTTPServer
 
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer-encoding is only defined for HTTP/1.1; the default
+        # HTTP/1.0 status line makes compliant clients ignore the header and
+        # deliver raw chunk framing as the body
+        protocol_version = "HTTP/1.1"
+
         def _reply(self, code: int, payload: Dict):
             body = json.dumps(payload).encode()
             self.send_response(code)
@@ -261,18 +327,29 @@ def serve_http(service: VideoService, host: str = "0.0.0.0", port: int = 8080):
             else:
                 self._reply(404, {"error": "unknown path"})
 
+        def _decode_frames(self, req: Dict) -> np.ndarray:
+            if "frames_npy" not in req:
+                raise RequestError("'frames_npy' (base64 .npy) is required")
+            try:
+                return np.load(io.BytesIO(base64.b64decode(req["frames_npy"])))
+            except Exception as e:
+                raise RequestError(f"frames_npy is not a valid .npy: {e!r}")
+
         def do_POST(self):
+            streaming_started = False
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
                 if self.path == "/edit_stream":
                     # NDJSON chunked response: one line per 49-frame chunk as
                     # the FIFO emits it (application/x-ndjson)
-                    arr = np.load(io.BytesIO(base64.b64decode(req["frames_npy"])))
+                    arr = self._decode_frames(req)
+                    num_chunks = validate_request(service, req, arr)
                     self.send_response(200)
                     self.send_header("Content-Type", "application/x-ndjson")
                     self.send_header("Transfer-Encoding", "chunked")
                     self.end_headers()
+                    streaming_started = True
 
                     def send_line(payload: Dict):
                         line = (json.dumps(payload) + "\n").encode()
@@ -281,7 +358,7 @@ def serve_http(service: VideoService, host: str = "0.0.0.0", port: int = 8080):
                         self.wfile.flush()
 
                     for c in service.edit_stream(
-                            req["prompt"], arr, int(req.get("num_chunks", 2)),
+                            req["prompt"], arr, num_chunks,
                             seed=int(req.get("seed", 0)),
                             negative_prompt=req.get("negative_prompt", "")):
                         send_line({"chunk": c["chunk"],
@@ -290,18 +367,17 @@ def serve_http(service: VideoService, host: str = "0.0.0.0", port: int = 8080):
                     self.wfile.write(b"0\r\n\r\n")
                     return
                 if self.path == "/generate":
+                    num_chunks = validate_request(service, req)
                     out = service.generate(
-                        req["prompt"], int(req.get("num_chunks", 2)),
+                        req["prompt"], num_chunks,
                         seed=int(req.get("seed", 0)),
                         negative_prompt=req.get("negative_prompt", ""),
                     )
                 elif self.path == "/edit":
-                    frames = np.frombuffer(
-                        base64.b64decode(req["frames_npz"]), dtype=np.float32
-                    ) if "frames_npz" in req else None
-                    arr = np.load(io.BytesIO(base64.b64decode(req["frames_npy"])))
+                    arr = self._decode_frames(req)
+                    num_chunks = validate_request(service, req, arr)
                     out = service.edit(
-                        req["prompt"], arr, int(req.get("num_chunks", 2)),
+                        req["prompt"], arr, num_chunks,
                         seed=int(req.get("seed", 0)),
                     )
                 else:
@@ -310,8 +386,23 @@ def serve_http(service: VideoService, host: str = "0.0.0.0", port: int = 8080):
                     "seconds": out["seconds"],
                     "video_mp4_b64": _encode_video_b64(out["video"]),
                 })
+            except RequestError as e:
+                if not streaming_started:
+                    self._reply(400, {"error": str(e)})
             except Exception as e:  # serving surface: report, don't crash
-                self._reply(500, {"error": repr(e)})
+                if streaming_started:
+                    # headers are gone: finish the NDJSON stream with an error
+                    # line + the terminating 0-chunk so the client sees a
+                    # well-framed failure instead of corrupt chunking
+                    try:
+                        line = (json.dumps({"error": repr(e)}) + "\n").encode()
+                        self.wfile.write(f"{len(line):x}\r\n".encode())
+                        self.wfile.write(line + b"\r\n")
+                        self.wfile.write(b"0\r\n\r\n")
+                    except OSError:
+                        pass  # client already gone
+                else:
+                    self._reply(500, {"error": repr(e)})
 
         def log_message(self, *a):
             pass
