@@ -44,6 +44,35 @@ def _step0_loss(stdout: str) -> float:
 
 
 @pytest.mark.slow
+def test_to2v_lora_smoke(tmp_path):
+    """`lora_rank` config key drives LoRA end to end: factors initialised,
+    steps run, and the merged export lands in the run dir (reference peft
+    path `train_cogvideo_to2v.py:1326-1338`, here config-reachable)."""
+    import glob
+
+    res = _run_train(tmp_path, "lora", "lora_rank: 4\nlora_alpha: 8.0")
+    assert re.search(r"lora: rank=4 alpha=8\.0 .*M params", res.stdout), \
+        res.stdout[-2000:]
+    assert "lora-merged export saved" in res.stdout
+    merged = glob.glob(str(tmp_path / "out_lora" / "*" / "lora_merged" / "*"))
+    assert merged, res.stdout[-2000:]
+    _step0_loss(res.stdout)  # loss parsed == finite float
+
+
+@pytest.mark.slow
+def test_t2to_lora_smoke(tmp_path):
+    import glob
+
+    res = _run_train(tmp_path, "lorat2", "lora_rank: 4\nlora_alpha: 8.0",
+                     script="train_t2to.py")
+    assert re.search(r"lora: rank=4", res.stdout), res.stdout[-2000:]
+    assert "lora-merged export saved" in res.stdout
+    merged = glob.glob(str(tmp_path / "out_lorat2" / "*" / "lora_merged" / "*"))
+    assert merged, res.stdout[-2000:]
+    _step0_loss(res.stdout)
+
+
+@pytest.mark.slow
 def test_to2v_tp2_matches_dp(tmp_path):
     """tp(2) x dp(2) == dp(2): identical seed/synthetic data, same global
     batch, same stratification ranks — step-0 loss must match."""

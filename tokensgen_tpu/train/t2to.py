@@ -51,6 +51,13 @@ class T2ToTrainConfig:
     height: int = 8
     width: int = 12
     keep_components: int = 16
+    # LoRA finetune mode (reference peft path, `train_cogvideo_to2v.py:
+    # 1326-1338`, default-off): rank > 0 freezes the full 5b clone and trains
+    # only low-rank a/b factors over the target projections — params become
+    # {"dit": frozen tree, "lora": factors} (train/lora.py).
+    lora_rank: int = 0
+    lora_alpha: float = 64.0
+    lora_targets: tuple = ("to_q", "to_k", "to_v", "to_out")
 
 
 def pca_normalization(
@@ -102,6 +109,16 @@ def make_optimizer(cfg: T2ToTrainConfig,
         # (`config/train/*_t2to.yaml:68-93`); the f32 accumulation buffer is
         # ZeRO-1-sharded with the rest of the optimizer state
         opt = optax.MultiSteps(opt, every_k_schedule=accum_steps)
+    if cfg.lora_rank > 0:
+        # LoRA mode: optimizer state only for the lora factors; the frozen
+        # base gets set_to_zero (same pattern as the To2V adapter masking)
+        opt = optax.multi_transform(
+            {"train": opt, "freeze": optax.set_to_zero()},
+            lambda params: jax.tree_util.tree_map_with_path(
+                lambda path, _: "train"
+                if path and getattr(path[0], "key", None) == "lora"
+                else "freeze", params),
+        )
     return opt
 
 
@@ -120,6 +137,11 @@ def make_train_step(
     dt_, dh_, dw_ = cfg.rope_dims
 
     def loss_fn(params, batch, rng):
+        if isinstance(params, dict) and "lora" in params:
+            from tokensgen_tpu.train.lora import merge_lora
+
+            params = merge_lora(params["dit"], params["lora"],
+                                cfg.lora_rank, cfg.lora_alpha)
         r_t, r_noise = jax.random.split(rng)
         latents = batch["latents"]
         b, f = latents.shape[0], latents.shape[1]
@@ -154,10 +176,26 @@ def make_train_step(
         )
 
     def train_step(params, opt_state, batch, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        if isinstance(params, dict) and "lora" in params:
+            # differentiate ONLY the lora factors: the frozen 5b base enters
+            # the trace as constants (same rationale as To2V's partition —
+            # no dead dW matmuls/buffers for the frozen tree)
+            def loss_on_lora(lora):
+                return loss_fn({"dit": params["dit"], "lora": lora},
+                               batch, rng)
+
+            loss, g_lora = jax.value_and_grad(loss_on_lora)(params["lora"])
+            gnorm = optax.global_norm(g_lora)
+            grads = {
+                "dit": jax.tree_util.tree_map(jnp.zeros_like, params["dit"]),
+                "lora": g_lora,
+            }
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+            gnorm = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return params, opt_state, {"loss": loss, "grad_norm": gnorm}
 
     return train_step
 

@@ -48,6 +48,14 @@ class To2VTrainConfig:
     diff_timesteps_ratio: float = 0.4
     inference_timesteps: int = 52
     num_processes: int = 1  # data-parallel ranks for stratified t sampling
+    # LoRA finetuning (config-reachable, like the reference's peft path
+    # `train_cogvideo_to2v.py:1326-1338`: rank/alpha over to_{q,k,v,out},
+    # default-off). rank > 0 adds a "lora" subtree trained ALONGSIDE the
+    # vip/resampler adapters; the base DiT stays frozen and the LoRA delta is
+    # merged functionally inside the loss (train/lora.py).
+    lora_rank: int = 0
+    lora_alpha: float = 64.0
+    lora_targets: tuple = ("to_q", "to_k", "to_v", "to_out")
 
 
 def trainable_labels(params: Dict) -> Dict:
@@ -57,7 +65,8 @@ def trainable_labels(params: Dict) -> Dict:
     labels = {}
     for key in flat:
         path = "/".join(str(k) for k in key)
-        if path.startswith("resampler/") or "vip_" in path:
+        if (path.startswith("resampler/") or path.startswith("lora/")
+                or "vip_" in path):
             labels[key] = "train"
         else:
             labels[key] = "freeze"
@@ -142,6 +151,15 @@ def make_train_step(
         latents = batch["latents"]
         b, f = latents.shape[0], latents.shape[1]
 
+        dit_params = params["dit"]
+        if "lora" in params:
+            from tokensgen_tpu.train.lora import merge_lora
+
+            # functional merge: grads flow to the (trainable) a/b factors,
+            # the frozen base kernels enter as constants
+            dit_params = merge_lora(dit_params, params["lora"],
+                                    cfg.lora_rank, cfg.lora_alpha)
+
         # stratified sampling: the reference stratifies by DDP rank
         # (`:1797-1818`); in one SPMD program the equivalent strata are the
         # batch positions (which map onto the data-parallel devices)
@@ -183,7 +201,7 @@ def make_train_step(
                 {"params": params["resampler"]}, batch["vip_input"], rs_img, rs_smp
             )
         model_out = dit.apply(
-            {"params": params["dit"]},
+            {"params": dit_params},
             noisy,
             batch["text_embeds"],
             timesteps,
@@ -231,12 +249,14 @@ def init_params(
     resampler_config: ResamplerConfig,
     rng: jax.Array,
     example_batch: Dict[str, Any],
+    lora_rank: int = 0,
+    lora_targets=("to_q", "to_k", "to_v", "to_out"),
 ) -> Dict[str, Any]:
     from tokensgen_tpu.models.dit import graft_vip_params
 
     dit = CogVideoXTransformer(dit_config)
     resampler = Resampler(resampler_config)
-    r1, r2 = jax.random.split(rng)
+    r1, r2, r3 = jax.random.split(rng, 3)
     rs_params = resampler.init(r1, example_batch["vip_input"])["params"]
     vip_tokens = resampler.apply({"params": rs_params}, example_batch["vip_input"])
     b, f = example_batch["latents"].shape[:2]
@@ -251,4 +271,10 @@ def init_params(
         vip_condition_rotary_emb=example_batch.get("vip_condition_rotary_emb"),
     )
     dit_params = graft_vip_params(dit_vars["params"], dit_config)
-    return {"dit": dit_params, "resampler": rs_params}
+    out = {"dit": dit_params, "resampler": rs_params}
+    if lora_rank > 0:
+        from tokensgen_tpu.train.lora import init_lora
+
+        out["lora"] = init_lora(dit_params, r3, rank=lora_rank,
+                                targets=tuple(lora_targets))
+    return out

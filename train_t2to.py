@@ -109,6 +109,12 @@ def main():
         lr_power=cfg.get("lr_power", 1.0),
         max_train_steps=cfg.get("max_train_steps", 100),
         num_processes=dp,
+        # LoRA finetune mode (reference peft path, default-off): freezes the
+        # 5b clone and trains only the low-rank factors
+        lora_rank=cfg.get("lora_rank", 0),
+        lora_alpha=cfg.get("lora_alpha", 64.0),
+        lora_targets=tuple(cfg.get("lora_targets",
+                                   ["to_q", "to_k", "to_v", "to_out"])),
     )
     if cfg.get("scale_lr"):
         import dataclasses as _dc
@@ -144,6 +150,15 @@ def main():
         jnp.zeros((1, dcfg.max_text_seq_length, dcfg.text_embed_dim)),
         jnp.zeros((1,), jnp.int32), image_rotary_emb=rope,
     )["params"]
+    if tcfg.lora_rank > 0:
+        from tokensgen_tpu.train.lora import init_lora, lora_param_count
+
+        lora = init_lora(params, jax.random.PRNGKey(cfg.get("seed", 42) + 1),
+                         rank=tcfg.lora_rank, targets=tcfg.lora_targets)
+        params = {"dit": params, "lora": lora}
+        print(f"lora: rank={tcfg.lora_rank} alpha={tcfg.lora_alpha} "
+              f"targets={list(tcfg.lora_targets)} "
+              f"({lora_param_count(lora)/1e6:.2f}M params)", flush=True)
 
     optimizer = t2to.make_optimizer(
         tcfg, accum_steps=cfg.get("gradient_accumulation_steps", 1))
@@ -161,7 +176,11 @@ def main():
     if tp > 1:
         from tokensgen_tpu.sharding.tp import shard_dit_params
 
-        params = shard_dit_params(mesh, params)
+        if tcfg.lora_rank > 0:
+            params = {"dit": shard_dit_params(mesh, params["dit"]),
+                      "lora": replicate(mesh, params["lora"])}
+        else:
+            params = shard_dit_params(mesh, params)
     else:
         params = replicate(mesh, params)
     if cfg.get("zero1", False):
@@ -284,6 +303,15 @@ def main():
                                {"params": jax.device_get(params),
                                 "opt_state": jax.device_get(opt_state)},
                                total_limit=cfg.get("checkpoints_total_limit", 3))
+    if tcfg.lora_rank > 0:
+        from tokensgen_tpu.train.lora import merge_lora
+
+        host = jax.device_get(params)
+        merged = merge_lora(host["dit"], host["lora"], tcfg.lora_rank,
+                            tcfg.lora_alpha)
+        CK.save_checkpoint(os.path.join(run_dir, "lora_merged"), max_steps,
+                           {"params": merged}, total_limit=1)
+        print(f"lora-merged export saved to {run_dir}/lora_merged", flush=True)
     tb.close()
     print("training done", flush=True)
 

@@ -141,6 +141,12 @@ def main():
         lr_power=cfg.get("lr_power", 1.0),
         max_train_steps=cfg.get("max_train_steps", 1000),
         num_processes=dp,
+        # LoRA finetuning (reference peft path `train_cogvideo_to2v.py:
+        # 1326-1338`; rank/alpha config keys, default-off)
+        lora_rank=cfg.get("lora_rank", 0),
+        lora_alpha=cfg.get("lora_alpha", 64.0),
+        lora_targets=tuple(cfg.get("lora_targets",
+                                   ["to_q", "to_k", "to_v", "to_out"])),
     )
     accum = cfg.get("gradient_accumulation_steps", 1)
     batch_size = cfg.get("per_gpu_batch_size", 1) * dp  # global
@@ -171,7 +177,16 @@ def main():
         "vip_input": jnp.zeros((b, nf, (h_lat // dcfg.patch_size) * (w_lat // dcfg.patch_size), rcfg.embedding_dim)),
         "text_embeds": jnp.zeros((b, dcfg.max_text_seq_length, dcfg.text_embed_dim)),
     }
-    params = to2v.init_params(dcfg, rcfg, rng, example)
+    params = to2v.init_params(dcfg, rcfg, rng, example,
+                              lora_rank=tcfg.lora_rank,
+                              lora_targets=tcfg.lora_targets)
+    if tcfg.lora_rank > 0:
+        from tokensgen_tpu.train.lora import lora_param_count
+
+        print(f"lora: rank={tcfg.lora_rank} alpha={tcfg.lora_alpha} "
+              f"targets={list(tcfg.lora_targets)} "
+              f"({lora_param_count(params['lora'])/1e6:.2f}M params)",
+              flush=True)
     # frozen base stored bf16 (the trainable vip/resampler leaves stay f32
     # masters): halves the frozen params' HBM and removes the per-step
     # f32->bf16 convert temps (see to2v.cast_frozen_bf16)
@@ -196,8 +211,11 @@ def main():
     if tp > 1:
         from tokensgen_tpu.sharding.tp import shard_dit_params
 
-        params = {"dit": shard_dit_params(mesh, params["dit"]),
-                  "resampler": replicate(mesh, params["resampler"])}
+        sharded = {"dit": shard_dit_params(mesh, params["dit"]),
+                   "resampler": replicate(mesh, params["resampler"])}
+        if "lora" in params:
+            sharded["lora"] = replicate(mesh, params["lora"])
+        params = sharded
     else:
         params = replicate(mesh, params)
     if cfg.get("zero1", False):
@@ -300,7 +318,13 @@ def main():
             num_partitions=2 if args.smoke else 4, stochastic=False,
         )
         host_params = jax.device_get(params)
-        pipe = To2VPipeline(pcfg, dcfg, {"params": host_params["dit"]}, rcfg,
+        dit_p = host_params["dit"]
+        if "lora" in host_params:
+            from tokensgen_tpu.train.lora import merge_lora
+
+            dit_p = merge_lora(dit_p, host_params["lora"], tcfg.lora_rank,
+                               tcfg.lora_alpha)
+        pipe = To2VPipeline(pcfg, dcfg, {"params": dit_p}, rcfg,
                             {"params": host_params["resampler"]}, vae, sched)
         frames = jnp.asarray(batch["pixel_values"][:1])
         text = text_embeds_for(batch["prompt"][:1])
@@ -383,6 +407,21 @@ def main():
                 total_limit=cfg.get("checkpoints_total_limit", 3),
             )
             print(f"checkpoint saved at step {step+1}", flush=True)
+    if tcfg.lora_rank > 0:
+        # export the MERGED weights (base + a@b * alpha/rank) so inference
+        # loads a plain DiT tree — the reference's save_lora_weights +
+        # fuse counterpart
+        from tokensgen_tpu.train.lora import merge_lora
+
+        host = jax.device_get(params)
+        merged = merge_lora(host["dit"], host["lora"], tcfg.lora_rank,
+                            tcfg.lora_alpha)
+        CK.save_checkpoint(
+            os.path.join(run_dir, "lora_merged"), max_steps,
+            {"params": {"dit": merged, "resampler": host["resampler"]}},
+            total_limit=1,
+        )
+        print(f"lora-merged export saved to {run_dir}/lora_merged", flush=True)
     tb.close()
     print("training done", flush=True)
 
