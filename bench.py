@@ -66,8 +66,12 @@ def measure(layers: int, use_vip: bool, cfg_batched: bool = True,
     if quant or quant_attn:
         log(f"NOTE: BENCH_QUANT={quant} BENCH_QUANT_ATTN={int(quant_attn)} — "
             f"int8 w8a8 is the shipped serving default (drift-validated, "
-            f"PERF.md round 4); BENCH_QUANT=bf16 measures the "
-            f"reference-parity bf16 mode")
+            f"PERF.md rounds 4-5); BENCH_QUANT=bf16 measures the "
+            f"reference-parity bf16 mode. CAVEAT: vs_baseline then compares "
+            f"an int8 TPU step against the analytic bf16 A100 estimate — a "
+            f"cross-precision comparison, defensible because the drift study "
+            f"bounds the int8 output delta, but bf16-vs-bf16 parity is the "
+            f"0.90x number (PERF.md bf16-ceiling analysis)")
     cfg = DiTConfig.cogvideox_5b(num_layers=layers, vip=vc, ff_chunks=ff_chunks,
                                  fuse_qkv=fuse, fuse_vip_qkv=fuse_vip,
                                  quant=quant, quant_attn=quant_attn)

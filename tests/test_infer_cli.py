@@ -105,13 +105,26 @@ def test_infer_smoke_sequence_parallel(tmp_path):
     """`sp_devices: 2` drives Ulysses sequence-parallel attention from the
     config (SURVEY §2.3 optional SP; kernels/attention.py sp_axis). Output
     must match the unsharded run bit-for-bit-identical seeds."""
+    # identify each run's output by diffing the run-dir listing around the
+    # call — name/timestamp sorting is racy when two runs land in the same
+    # second (the second load would silently read the first run's latents
+    # and the parity assert would be vacuous)
+    def new_run_dir(before):
+        after = set((tmp_path / "out").iterdir())
+        new = after - before
+        assert len(new) == 1, sorted(p.name for p in new)
+        return next(iter(new))
+
+    before = set()
+    (tmp_path / "out").mkdir(exist_ok=True)
+    before = set((tmp_path / "out").iterdir())
     res = _run_infer(tmp_path, "sp_devices: 2")
     assert "sequence parallel: sp=2" in res.stdout
-    sp_lat = np.load(next((sorted((tmp_path / "out").iterdir())[-1])
-                          .glob("*_latents.npy")))
-    ref = _run_infer(tmp_path, "")
-    ref_lat = np.load(next((sorted((tmp_path / "out").iterdir())[-1])
-                           .glob("*_latents.npy")))
+    sp_dir = new_run_dir(before)
+    sp_lat = np.load(next(sp_dir.glob("*_latents.npy")))
+    before = set((tmp_path / "out").iterdir())
+    _run_infer(tmp_path, "")
+    ref_lat = np.load(next(new_run_dir(before).glob("*_latents.npy")))
     assert np.abs(sp_lat - ref_lat).max() < 2e-4
 
 
