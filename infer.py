@@ -311,6 +311,78 @@ def build_pipeline(cfg, smoke: bool):
                         image_encoder=image_encoder), dcfg
 
 
+def build_t2to_pipeline(cfg, smoke: bool, pipe):
+    """T2To token-generator stage (gen workload / serving two-stage path):
+    converted TokensGen-T2To weights + pca/mean/std artifacts when available,
+    random init as the weights-free fallback
+    (`infer_cogvideo_mp_fifo.py:219-234`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tokensgen_tpu.core import pca as pca_lib
+    from tokensgen_tpu.models.dit import CogVideoXTransformer, DiTConfig as DC
+    from tokensgen_tpu.pipelines.t2to import T2ToConfig, T2ToPipeline
+
+    if smoke:
+        t2cfg = T2ToConfig(num_inference_steps=4,
+                           num_frames_per_chunk=pipe.resampler_config.num_temporal_queries,
+                           token_dim=pipe.resampler_config.output_dim,
+                           height=pipe.resampler_config.num_height_queries,
+                           width=pipe.resampler_config.num_width_queries,
+                           stochastic=False)
+        t2dcfg = DC.tiny(patch_size=1,
+                         sample_height=t2cfg.height, sample_width=t2cfg.width,
+                         attention_head_dim=64, num_attention_heads=1)
+    else:
+        t2cfg = T2ToConfig(num_inference_steps=cfg.get("num_inference_steps", 52))
+        t2dcfg = DC.t2to_5b()
+    t2model = CogVideoXTransformer(t2dcfg)
+    t2pipe_tmp = T2ToPipeline(t2cfg, t2dcfg, None)
+    f0 = 2 * t2cfg.num_frames_per_chunk
+    # converted TokensGen-T2To weights when available (the full-finetune
+    # transformer exported by convert_weights.py as t2to_dit.safetensors);
+    # random init is the weights-free fallback only
+    t2prov = {}
+    t2_tree = _load_converted(cfg, "t2to_dit")
+    if t2_tree is not None:
+        t2params = {"params": t2_tree}
+        t2prov["t2to_dit"] = "converted"
+    else:
+        t2prov["t2to_dit"] = "random"
+        t2params = t2model.init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, f0, t2cfg.latent_channels, t2cfg.height, t2cfg.width)),
+            jnp.zeros((1, t2dcfg.max_text_seq_length, t2dcfg.text_embed_dim)),
+            jnp.zeros((1,), jnp.int32),
+            image_rotary_emb=t2pipe_tmp.rope(f0),
+        )
+    # pca/mean/std artifacts
+    if not smoke and cfg.get("longvgen_pca"):
+        from tokensgen_tpu.convert.safetensors_io import load_safetensors
+
+        pca_sd = load_safetensors(cfg.longvgen_pca)
+        pca_state = pca_lib.PCAState(
+            mean=jnp.asarray(pca_sd["mean_"]),
+            components=jnp.asarray(pca_sd["components_"]))
+        mean = jnp.asarray(np.load(cfg.longvgen_mean))
+        std = jnp.asarray(np.load(cfg.longvgen_std))
+        t2prov["pca"] = "artifacts"
+    else:
+        t2prov["pca"] = "random(identity-scale)"
+        rng0 = np.random.default_rng(0)
+        # sample count >= token_dim: inverse_transform needs the full
+        # square component matrix (SVD yields min(n_samples, dim) comps)
+        pca_state = pca_lib.fit(
+            jnp.asarray(rng0.normal(size=(t2cfg.token_dim + 64,
+                                          t2cfg.token_dim)),
+                        jnp.float32), None)
+        mean = jnp.zeros((1, t2cfg.token_dim))
+        std = jnp.ones((1, t2cfg.token_dim))
+    _report_weight_provenance(t2prov, smoke)
+    return T2ToPipeline(t2cfg, t2dcfg, t2params, pca=pca_state,
+                        token_mean=mean, token_std=std)
+
+
 def main():
     from tokensgen_tpu.utils.platform import apply_platform_env
 
@@ -357,69 +429,7 @@ def main():
     # (`infer_cogvideo_mp_fifo.py:219-234,266-279`)
     t2to_pipe = None
     if cfg.get("use_2nd_stage"):
-        from tokensgen_tpu.core import pca as pca_lib
-        from tokensgen_tpu.models.dit import DiTConfig as DC
-        from tokensgen_tpu.models.dit import CogVideoXTransformer
-        from tokensgen_tpu.pipelines.t2to import T2ToConfig, T2ToPipeline
-
-        if args.smoke:
-            t2cfg = T2ToConfig(num_inference_steps=4,
-                               num_frames_per_chunk=pipe.resampler_config.num_temporal_queries,
-                               token_dim=pipe.resampler_config.output_dim,
-                               height=pipe.resampler_config.num_height_queries,
-                               width=pipe.resampler_config.num_width_queries,
-                               stochastic=False)
-            t2dcfg = DC.tiny(patch_size=1,
-                             sample_height=t2cfg.height, sample_width=t2cfg.width,
-                             attention_head_dim=64, num_attention_heads=1)
-        else:
-            t2cfg = T2ToConfig(num_inference_steps=cfg.get("num_inference_steps", 52))
-            t2dcfg = DC.t2to_5b()
-        t2model = CogVideoXTransformer(t2dcfg)
-        t2pipe_tmp = T2ToPipeline(t2cfg, t2dcfg, None)
-        f0 = 2 * t2cfg.num_frames_per_chunk
-        # converted TokensGen-T2To weights when available (the full-finetune
-        # transformer exported by convert_weights.py as t2to_dit.safetensors);
-        # random init is the weights-free fallback only
-        t2prov = {}
-        t2_tree = _load_converted(cfg, "t2to_dit")
-        if t2_tree is not None:
-            t2params = {"params": t2_tree}
-            t2prov["t2to_dit"] = "converted"
-        else:
-            t2prov["t2to_dit"] = "random"
-            t2params = t2model.init(
-                jax.random.PRNGKey(1),
-                jnp.zeros((1, f0, t2cfg.latent_channels, t2cfg.height, t2cfg.width)),
-                jnp.zeros((1, t2dcfg.max_text_seq_length, t2dcfg.text_embed_dim)),
-                jnp.zeros((1,), jnp.int32),
-                image_rotary_emb=t2pipe_tmp.rope(f0),
-            )
-        # pca/mean/std artifacts
-        if not args.smoke and cfg.get("longvgen_pca"):
-            from tokensgen_tpu.convert.safetensors_io import load_safetensors
-
-            pca_sd = load_safetensors(cfg.longvgen_pca)
-            pca_state = pca_lib.PCAState(
-                mean=jnp.asarray(pca_sd["mean_"]),
-                components=jnp.asarray(pca_sd["components_"]))
-            mean = jnp.asarray(np.load(cfg.longvgen_mean))
-            std = jnp.asarray(np.load(cfg.longvgen_std))
-            t2prov["pca"] = "artifacts"
-        else:
-            t2prov["pca"] = "random(identity-scale)"
-            rng0 = np.random.default_rng(0)
-            # sample count >= token_dim: inverse_transform needs the full
-            # square component matrix (SVD yields min(n_samples, dim) comps)
-            pca_state = pca_lib.fit(
-                jnp.asarray(rng0.normal(size=(t2cfg.token_dim + 64,
-                                              t2cfg.token_dim)),
-                            jnp.float32), None)
-            mean = jnp.zeros((1, t2cfg.token_dim))
-            std = jnp.ones((1, t2cfg.token_dim))
-        _report_weight_provenance(t2prov, args.smoke)
-        t2to_pipe = T2ToPipeline(t2cfg, t2dcfg, t2params, pca=pca_state,
-                                 token_mean=mean, token_std=std)
+        t2to_pipe = build_t2to_pipeline(cfg, args.smoke, pipe)
 
     mesh = None
     nq = args.queue_devices or cfg.get_path("sampling_params.queue_devices", 1)

@@ -540,6 +540,21 @@ class To2VPipeline:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         rng, r_vip, r_base, r_fifo = jax.random.split(rng, 4)
 
+        if host_loop and not offload_vae:
+            # host-loop runs dispatch one jitted program per step with the
+            # params as an ARGUMENT; if the DiT tree still lives on a host CPU
+            # device (e.g. a freshly built master), every dispatch would
+            # re-upload the full tree — on tunneled runtimes the client's
+            # serialized buffers then OOM the host long before the run ends.
+            # Land the tree on the compute device once.
+            leaves = jax.tree_util.tree_leaves(self.dit_params)
+            devs = getattr(leaves[0], "devices", lambda: set())() if leaves else set()
+            dev = next(iter(devs), None)
+            if (jax.default_backend() != "cpu" and dev is not None
+                    and dev.platform == "cpu"):
+                self.dit_params = jax.device_put(
+                    self.dit_params, jax.devices()[0])
+
         if offload_vae and frames is not None and image_embeddings is None:
             # phase orchestration for one 16 GB chip: the production stack's
             # params alone are 15.5 GB (DiT 14.3 + resampler 0.6 + VAE 0.4),

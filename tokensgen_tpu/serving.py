@@ -340,11 +340,26 @@ def serve_http(service: VideoService, host: str = "0.0.0.0", port: int = 8080):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
-                if self.path == "/edit_stream":
+                if self.path in ("/edit_stream", "/generate_stream"):
                     # NDJSON chunked response: one line per 49-frame chunk as
                     # the FIFO emits it (application/x-ndjson)
-                    arr = self._decode_frames(req)
-                    num_chunks = validate_request(service, req, arr)
+                    if self.path == "/edit_stream":
+                        arr = self._decode_frames(req)
+                        num_chunks = validate_request(service, req, arr)
+                        stream = service.edit_stream(
+                            req["prompt"], arr, num_chunks,
+                            seed=int(req.get("seed", 0)),
+                            negative_prompt=req.get("negative_prompt", ""))
+                    else:
+                        num_chunks = validate_request(service, req)
+                        if service.t2to_pipe is None:
+                            raise RequestError(
+                                "service was built without a T2To pipeline "
+                                "(use_2nd_stage)")
+                        stream = service.generate_stream(
+                            req["prompt"], num_chunks,
+                            seed=int(req.get("seed", 0)),
+                            negative_prompt=req.get("negative_prompt", ""))
                     self.send_response(200)
                     self.send_header("Content-Type", "application/x-ndjson")
                     self.send_header("Transfer-Encoding", "chunked")
@@ -357,10 +372,7 @@ def serve_http(service: VideoService, host: str = "0.0.0.0", port: int = 8080):
                         self.wfile.write(line + b"\r\n")
                         self.wfile.flush()
 
-                    for c in service.edit_stream(
-                            req["prompt"], arr, num_chunks,
-                            seed=int(req.get("seed", 0)),
-                            negative_prompt=req.get("negative_prompt", "")):
+                    for c in stream:
                         send_line({"chunk": c["chunk"],
                                    "video_mp4_b64": _encode_video_b64(
                                        c["video"][0])})

@@ -66,6 +66,29 @@ import numpy as np
 OUT_DIR = "/tmp/drift4"
 
 
+def start_rss_monitor(period_s: float = 30.0):
+    """Print host RSS every `period_s` — the feed arms host-OOM'd at 129 GB
+    with no observable phase, so every run narrates its memory now."""
+    import threading
+
+    t0 = time.time()
+
+    def read_rss_gb():
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024 / 1024
+        return -1.0
+
+    def loop():
+        while True:
+            print(f"[RSS] t={time.time()-t0:7.0f}s rss={read_rss_gb():6.1f} GB",
+                  flush=True)
+            time.sleep(period_s)
+
+    threading.Thread(target=loop, daemon=True).start()
+
+
 def tag(steps, chunks, layers, parts=1, stoch=False):
     t = f"s{steps}_c{chunks}_l{layers}"
     if parts != 1:
@@ -446,10 +469,21 @@ def run_feed(arm, steps, chunks, t2to_layers, to2v_layers):
     pipe, _frames, text, neg, t0 = build(
         "bf16", steps, chunks, to2v_layers, ff_chunks=8, want_vae=False,
         parts=4, stoch=True)
+    # the build() master lives on the HOST cpu device; land it on the chip
+    # ONCE — otherwise every host-loop step re-uploads the full tree through
+    # the tunnel and the client's serialized buffers OOM the host (observed:
+    # 129 GB RSS ≈ 45 steps x 2.8 GB before the first run was oom-killed)
+    pipe.dit_params = jax.device_put(pipe.dit_params, jax.devices()[0])
     t1 = time.time()
+    print(f"[{time.time()-t0:7.1f}s] feed {arm}: generate begins", flush=True)
+
+    def on_emit(i, _em):
+        if i % 10 == 0:
+            print(f"[{time.time()-t0:7.1f}s] feed fifo iter {i}", flush=True)
+
     out = pipe.generate(text, neg, image_embeddings=emb, num_chunks=chunks,
                         rng=jax.random.PRNGKey(2), host_loop=True,
-                        decode=False)
+                        decode=False, emit_callback=on_emit)
     np.savez(prefix + ".npz",
              latents=np.asarray(out["latents"]).astype(np.float32),
              orig_latents=np.asarray(out["orig_latents"]).astype(np.float32))
@@ -510,6 +544,8 @@ def compare_feed(steps, chunks, t2to_layers, to2v_layers, decode=False):
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "compare"
+    if mode.startswith("run"):
+        start_rss_monitor()
     if mode == "run":
         arm = sys.argv[2]
         steps = int(sys.argv[3]) if len(sys.argv) > 3 else 13
