@@ -200,9 +200,11 @@ def run_arm(arm, steps, chunks, layers, ff_chunks, parts=1, stoch=False):
 
     def on_emit(i, em_np):
         em_series.append(em_np.astype(np.float32))
-        # rewrite the whole partial series each iteration (~2 MB * iters):
-        # a crash at any point leaves the curve up to that iteration
-        np.save(prefix + "_em_partial.npy", np.stack(em_series))
+        # checkpoint the partial series every 10 iterations (and at the end,
+        # below): rewriting the full stack EVERY iteration is O(n^2) disk
+        # traffic (~50 GB cumulative at the 150+-iteration horizon arm)
+        if i % 10 == 9:
+            np.save(prefix + "_em_partial.npy", np.stack(em_series))
         if i % 5 == 0:
             print(f"[{time.time()-t0:7.1f}s] fifo iter {i} landed", flush=True)
 
@@ -210,6 +212,7 @@ def run_arm(arm, steps, chunks, layers, ff_chunks, parts=1, stoch=False):
     out = pipe.generate(text, neg, frames=frames, num_chunks=chunks,
                         rng=jax.random.PRNGKey(2), offload_vae=True,
                         host_loop=True, decode=False, emit_callback=on_emit)
+    np.save(prefix + "_em_partial.npy", np.stack(em_series))
     # host-side casts only: with the DiT resident, HBM has no headroom for
     # even a small device-side astype/transfer staging buffer at this point
     np.savez(prefix + ".npz",
