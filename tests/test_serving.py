@@ -192,9 +192,9 @@ def test_crash_resume_drill():
         if i == 5:
             raise _Crash()
 
-    def on_state(i, st):
-        if (i + 1) % 2 == 0:  # checkpoint every 2 iterations
-            states[i] = st
+    def on_state(i, snapshot):
+        if (i + 1) % 2 == 0:  # checkpoint every 2 iterations (lazy fetch)
+            states[i] = snapshot()
 
     import pytest
     with pytest.raises(_Crash):

@@ -175,12 +175,15 @@ def fifo_generate(
     checkpoint the emission series incrementally so a mid-run failure still
     yields the frames produced so far.
 
-    ``state_callback(i, state_np)`` (host_loop only): invoked after iteration
-    ``i`` with the post-iteration queue state as host arrays
-    ``{"iteration": i + 1, "state": (queue, x0_buf, x0_valid)}`` — a crash
-    checkpoint. The callback owns the frequency decision (fetching the
-    ~40 MB production state every iteration would dominate tunnel time; every
-    ~25 iterations is free). A later call with ``resume_from=<that dict>``
+    ``state_callback(i, snapshot)`` (host_loop only): invoked after iteration
+    ``i`` with a zero-arg thunk; calling it returns the post-iteration queue
+    state as host arrays ``{"iteration": i + 1, "state": (queue, x0_buf,
+    x0_valid)}`` — a crash checkpoint. The callback owns the frequency
+    decision, and the ~40 MB production state only crosses the tunnel on the
+    iterations where the callback calls the thunk (every ~25 iterations is
+    free). The thunk must be called synchronously inside the callback — the
+    next iteration donates the underlying device buffers. A later call with
+    ``resume_from=<a snapshot's return value>``
     (same seed/config) continues from that iteration and reproduces the
     uninterrupted run bit-exactly: the per-iteration keys are recomputed from
     ``rng``, so iteration i's randomness doesn't depend on how the host loop
@@ -467,10 +470,17 @@ def fifo_generate(
                 cx_list.append(np.asarray(caches_i[0]))
                 cv_list.append(np.asarray(caches_i[1]))
             if state_callback is not None:
-                state_callback(i, {
-                    "iteration": i + 1,
-                    "state": tuple(np.asarray(s) for s in state),
-                })
+                # Lazy snapshot: the ~40 MB production state only crosses the
+                # tunnel when the callback actually checkpoints (calls the
+                # thunk). Must be called synchronously inside the callback —
+                # the next it_fn donates these buffers.
+                snap = state
+
+                def _snapshot(j=i, s=snap):
+                    return {"iteration": j + 1,
+                            "state": tuple(np.asarray(x) for x in s)}
+
+                state_callback(i, _snapshot)
         queue, x0_buf, x0_valid = state
         emitted = np.stack(em_list)
         caches = (np.stack(cx_list), np.stack(cv_list)) if cx_list else None
