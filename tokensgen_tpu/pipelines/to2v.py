@@ -699,9 +699,14 @@ class To2VPipeline:
                 self.vae.offload_to_host()
             if self._resampler_params_host is not None:
                 self.resampler_params = self._resampler_params_host
-            src = (self._dit_params_host if self._dit_params_host is not None
-                   else self.dit_params)
-            self.dit_params = jax.device_put(src, jax.devices()[0])
+            # only re-upload the DiT if the decode phase parked it on host;
+            # when decode=False it never left the chip, and device_put-ing the
+            # host master FIRST would double-book ~14.3 GB of HBM (the old
+            # tree is only dropped by the assignment) — that exact epilogue
+            # OOM'd the 42-layer drift run after all 65 FIFO iterations
+            if self.dit_params is self._dit_params_host:
+                self.dit_params = jax.device_put(
+                    self._dit_params_host, jax.devices()[0])
         return out
 
     # ----------------------------------------------- alternate sampling modes
