@@ -119,6 +119,7 @@ class VideoService:
         import jax
         import jax.numpy as jnp
 
+        t0 = time.time()
         cfg = self.pipe.cfg
         nf = cfg.nf_latent
         warmup = cfg.num_inference_steps - nf
@@ -175,6 +176,7 @@ class VideoService:
                         chunk_idx += 1
                         yield out
                 self.stats["requests"] += 1
+                self.stats["total_s"] += time.time() - t0
             finally:
                 cancel.set()
                 worker.join()
