@@ -319,9 +319,13 @@ def compare(steps, chunks, layers, decode=False, parts=1, stoch=False):
             # chunked causal decode
             z = jnp.asarray(lat[:, :t_use]) / vcfg.scaling_factor
             z = z.transpose(0, 1, 3, 4, 2)
-            parts = [runner.decode(z[:, s:s + nf])
-                     for s in range(0, t_use, nf)]
-            vids[name] = np.asarray(jnp.concatenate(parts, axis=1))
+            # NOTE: do not shadow the `parts` (num_partitions) argument here —
+            # it names the output JSON below (shadowing it with the decoded
+            # pieces once produced a kilobyte-long filename and an OSError
+            # after the summary print)
+            pieces = [runner.decode(z[:, s:s + nf])
+                      for s in range(0, t_use, nf)]
+            vids[name] = np.asarray(jnp.concatenate(pieces, axis=1))
         if len(vids) == 2:
             vb, vq = vids["bf16"][0], vids["w8a8"][0]
             frame_psnr = [psnr(vb[i], vq[i]) for i in range(vb.shape[0])]
@@ -338,8 +342,8 @@ def compare(steps, chunks, layers, decode=False, parts=1, stoch=False):
         extra = (f"   decoded PSNR {frame_psnr[i - (steps - 13)]:.2f} dB"
                  if frame_psnr and 0 <= i - (steps - 13) < len(frame_psnr)
                  else "")
-        print(f"  iter {i:3d}: rel MSE {rel_mse[i]:.5f}{extra}")
-    print(f"  last   : rel MSE {rel_mse[-1]:.5f}")
+        print(f"  iter {i:3d}: rel MSE {rel_mse[i]:.3e}{extra}")
+    print(f"  last   : rel MSE {rel_mse[-1]:.3e}")
     print("DRIFT_SUMMARY " + json.dumps(summary), flush=True)
     out_path = os.path.join(
         OUT_DIR, f"drift_w8a8_{tag(steps, chunks, layers, parts, stoch)}.json")
