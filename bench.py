@@ -28,6 +28,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# TPU-context cache dir: tests use a separate CPU-context dir (see
+# tests/conftest.py) — XLA:CPU AOT entries written under one backend context
+# fail the machine-feature check when loaded under the other, and a
+# cross-context load once segfaulted the test suite.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tokensgen_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 

@@ -10,8 +10,23 @@ env var alone does not override it once the plugin is registered — we must als
 
 import os
 
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tokensgen_tpu.utils.platform import machine_scoped_cache_dir  # noqa: E402
+
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tokensgen_tpu_jax_cache")
+# The test suite must NOT share a persistent-cache dir with the TPU-context
+# tools (/tmp/tokensgen_tpu_jax_cache): XLA:CPU AOT entries embed per-context
+# compile "machine features" (prefer-no-scatter/gather tuning under the TPU
+# plugin), cross-context loads fail that check with an error that warns of
+# SIGILL, and one such mixed-dir run segfaulted the suite inside
+# backend_compile_and_load. A CPU-suffixed, machine-fingerprinted dir keeps
+# test compiles isolated from tool compiles AND from other host types.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    machine_scoped_cache_dir("/tmp/tokensgen_tpu_jax_cache_cpu"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

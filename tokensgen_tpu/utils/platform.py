@@ -12,7 +12,35 @@ this)."""
 
 from __future__ import annotations
 
+import hashlib
 import os
+
+
+def machine_scoped_cache_dir(
+        base: str = "/tmp/tokensgen_tpu_jax_cache") -> str:
+    """Persistent-compile-cache dir scoped by a host-CPU-feature fingerprint.
+
+    XLA:CPU AOT cache entries embed the compile machine's CPU features and
+    loading a mismatched entry is only an error log ("could lead to execution
+    errors such as SIGILL"), not a rejection — so a cache dir carried across
+    host types is a latent crash. Keying the directory by the CPU flags gives
+    every machine type its own cache. (Context separation matters too: see
+    tests/conftest.py — CPU-backend test runs must not share a dir with the
+    TPU-context tools.)
+    """
+    try:
+        flags = ""
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = line
+                    break
+        key = hashlib.sha1(flags.encode()).hexdigest()[:8]
+    except OSError:
+        import platform as _platform
+
+        key = _platform.machine()
+    return f"{base}_{key}"
 
 
 def apply_platform_env() -> None:
